@@ -1,0 +1,269 @@
+"""Command-line driver: ``odesat_tpu {solve,stoch,batch,inter}``.
+
+Mirrors the reference CLI surface (reference: src/main.rs:19-141):
+same subcommands, same short flags (-f input, -o output, -t tolerance,
+-n steps, -s step size, -l learning rate, -r clause-to-variable ratio,
+-b batch size), same pipeline per mode:
+
+* solve  — preprocess to target ratio, normalize, single ODE trajectory,
+           map back, reconstruct eliminated variables, verify, render
+           (src/main.rs:143-204);
+* stoch  — same pipeline with the stochastic engine (src/main.rs:206-251);
+* batch  — NO preprocessing; B random restarts (parallel here, sequential
+           in the reference), stop at the first oracle-verified
+           assignment (src/main.rs:253-323);
+* inter  — NO preprocessing; B interlaced trajectories, stop when any
+           reaches allsat (src/main.rs:325-386).
+
+Every mode prints ``Checking if solution vector satisfies formula:
+{true|false}`` and exits 0 regardless, like the reference. TPU-specific
+additions: --seed (the reference is unseeded and unreproducible),
+--batch-per-chip/--clause-shards mesh controls, --dv-strategy,
+--rigidity, --chunk-steps, --profile-dir, --checkpoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from odesat_tpu.cnf import (
+    evaluate_cnf,
+    map_values_by_indices,
+    normalize_cnf_variables,
+    parse_dimacs_file,
+    render_variable_map,
+)
+from odesat_tpu.preprocess import preprocess_formula, reconstruct_witness
+from odesat_tpu.utils.config import ODEConfig, SolverConfig
+
+
+def _add_common(p: argparse.ArgumentParser, batch_required: bool = False) -> None:
+    p.add_argument("-f", "--input", required=True, help="input DIMACS CNF file")
+    p.add_argument("-o", "--output", default=None, help="optional output file")
+    p.add_argument("--seed", type=int, default=None, help="PRNG seed (reproducible runs)")
+    p.add_argument("--chunk-steps", type=int, default=256, help="scan steps per dispatch")
+    p.add_argument("--rigidity", choices=["paper", "reference"], default="paper")
+    p.add_argument(
+        "--dv-strategy", choices=["gather", "segment_sum", "onehot", "pallas"], default="gather"
+    )
+    p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
+    p.add_argument("--devices", type=int, default=1, help="devices on the trajectory mesh axis")
+    p.add_argument("--clause-shards", type=int, default=1, help="devices on the clause mesh axis")
+    p.add_argument("--profile-dir", default=None, help="jax.profiler trace directory")
+    p.add_argument("--checkpoint", default=None, help="state snapshot path (.npz)")
+    p.add_argument("--checkpoint-every", type=int, default=0, help="chunks between snapshots")
+    p.add_argument("--log-every", type=int, default=0, help="chunks between progress logs")
+    p.add_argument("--wall-clock-budget", type=float, default=None, help="seconds budget")
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="odesat_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    solve = sub.add_parser("solve", help="Run a single simulation")
+    _add_common(solve)
+    solve.add_argument("-t", "--tolerance", type=float, default=None)
+    solve.add_argument("-n", "--step-number", type=int, default=None)
+    solve.add_argument("-s", "--step-size", type=float, default=None)
+    solve.add_argument("-l", "--learning-rate", type=float, default=None)
+    solve.add_argument("-r", "--ctv-ratio", type=float, default=None)
+
+    stoch = sub.add_parser("stoch", help="Run a stochastic search")
+    _add_common(stoch)
+    stoch.add_argument("-n", "--step-number", type=int, default=None)
+    stoch.add_argument("-r", "--ctv-ratio", type=float, default=None)
+    stoch.add_argument("-b", "--batch-size", type=int, default=1, help="parallel chains (TPU extra)")
+
+    batch = sub.add_parser("batch", help="Run a batch of simulations (parallel restarts)")
+    _add_common(batch)
+    batch.add_argument("-t", "--tolerance", type=float, default=None)
+    batch.add_argument("-n", "--step-number", type=int, required=True)
+    batch.add_argument("-s", "--step-size", type=float, default=None)
+    batch.add_argument("-b", "--batch-size", type=int, required=True)
+    batch.add_argument("-l", "--learning-rate", type=float, default=None)
+
+    inter = sub.add_parser("inter", help="Run a batch of interlaced simulations")
+    _add_common(inter)
+    inter.add_argument("-t", "--tolerance", type=float, default=None)
+    inter.add_argument("-n", "--step-number", type=int, default=None)
+    inter.add_argument("-s", "--step-size", type=float, default=None)
+    inter.add_argument("-b", "--batch-size", type=int, required=True)
+    inter.add_argument("-l", "--learning-rate", type=float, default=None)
+
+    return parser
+
+
+def _config_from_args(args, batch_size: int = 1) -> SolverConfig:
+    ode = ODEConfig(
+        tolerance=getattr(args, "tolerance", None) or 1e-3,
+        step_size=getattr(args, "step_size", None),
+        steps=getattr(args, "step_number", None),
+        zeta=getattr(args, "learning_rate", None),
+        rigidity=args.rigidity,
+        dtype=args.dtype,
+        dv_strategy=args.dv_strategy,
+    )
+    return SolverConfig(
+        ode=ode,
+        ctv_ratio=getattr(args, "ctv_ratio", None) or 7.0,
+        batch_size=batch_size,
+        seed=args.seed,
+        chunk_steps=args.chunk_steps,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every_chunks=args.checkpoint_every,
+        profile_dir=args.profile_dir,
+        log_every_chunks=args.log_every,
+        wall_clock_budget_s=args.wall_clock_budget,
+    )
+
+
+def _mesh_from_args(args):
+    if args.devices * args.clause_shards <= 1:
+        return None
+    from odesat_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(args.devices, args.clause_shards)
+
+
+def _finish(mapped_values: dict, formula, output) -> None:
+    """Shared tail: verify against the ORIGINAL formula, render, write
+    (reference: src/main.rs:189-201)."""
+    print("Evaluating CNF formula...")
+    is_satisfiable = evaluate_cnf(mapped_values, formula)
+    print(f"Checking if solution vector satisfies formula: {str(is_satisfiable).lower()}")
+
+    print("Rendering variable assignments...")
+    render_str = render_variable_map(mapped_values)
+    if output:
+        print("Writing results to file...")
+        with open(output, "w", encoding="utf-8") as fh:
+            fh.write(render_str)
+    else:
+        print(f"Variable assignments:\n{render_str}")
+
+
+def _load(args):
+    print("Reading CNF formula from file...")
+    print("Parsing CNF formula...")
+    return parse_dimacs_file(args.input)
+
+
+def cmd_solve(args) -> int:
+    formula = _load(args)
+    config = _config_from_args(args)
+
+    print("Preprocessing CNF formula...")
+    reduced, trace = preprocess_formula(formula, config.ctv_ratio)
+    print(f"Clauses: {reduced.num_clauses} | Vars: {reduced.varnum}")
+    var_mapping, normalized = normalize_cnf_variables(reduced)
+
+    print("Simulating...")
+    from odesat_tpu.models.ode import simulate_batch
+
+    result = simulate_batch(normalized, config, mesh=_mesh_from_args(args))
+
+    print("Mapping values...")
+    mapped_values = map_values_by_indices(var_mapping, result.best_assignment())
+    reconstruct_witness(mapped_values, trace)
+
+    _finish(mapped_values, formula, args.output)
+    return 0
+
+
+def cmd_stoch(args) -> int:
+    formula = _load(args)
+    config = _config_from_args(args, batch_size=args.batch_size)
+
+    print("Preprocessing CNF formula...")
+    reduced, trace = preprocess_formula(formula, config.ctv_ratio)
+    print(f"Clauses: {reduced.num_clauses} | Vars: {reduced.varnum}")
+    var_mapping, normalized = normalize_cnf_variables(reduced)
+
+    print("Simulating...")
+    from odesat_tpu.models.stoch import search
+
+    result = search(normalized, config)
+
+    print("Mapping values...")
+    mapped_values = map_values_by_indices(var_mapping, result.best_assignment())
+    reconstruct_witness(mapped_values, trace)
+
+    _finish(mapped_values, formula, args.output)
+    return 0
+
+
+def cmd_batch(args) -> int:
+    formula = _load(args)
+    config = _config_from_args(args, batch_size=args.batch_size)
+
+    print("Normalizing CNF formula...")
+    var_mapping, normalized = normalize_cnf_variables(formula)
+
+    print("Simulating...")
+    from odesat_tpu.cnf.arrays import compile_formula
+    from odesat_tpu.models.ode import simulate_batch
+
+    fa = compile_formula(normalized, clause_pad=config.clause_pad, var_pad=config.var_pad)
+    verified_holder = {}
+
+    def harvest(state) -> bool:
+        # oracle-verified early exit: the reference gates batch termination
+        # on the verifier, not the allsat flag (src/main.rs:302-307)
+        done = np.asarray(state.done)
+        for idx in np.flatnonzero(done):
+            values = np.asarray(state.v[idx, : fa.n_vars] > 0.0)
+            mapped = map_values_by_indices(var_mapping, values)
+            if evaluate_cnf(mapped, formula):
+                verified_holder["mapped"] = mapped
+                return True
+        return False
+
+    result = simulate_batch(
+        fa, config, stop_on="all", harvest=harvest, mesh=_mesh_from_args(args)
+    )
+
+    if "mapped" not in verified_holder:
+        # budget exhausted: check every readout like the reference checks
+        # every trial (verified or not, the last mapping is kept)
+        mapped = {}
+        for idx in range(result.assignment.shape[0]):
+            mapped = map_values_by_indices(var_mapping, result.assignment[idx])
+            if evaluate_cnf(dict(mapped), formula):
+                verified_holder["mapped"] = mapped
+                break
+        mapped_values = verified_holder.get("mapped", mapped)
+    else:
+        mapped_values = verified_holder["mapped"]
+
+    _finish(mapped_values, formula, args.output)
+    return 0
+
+
+def cmd_inter(args) -> int:
+    formula = _load(args)
+    config = _config_from_args(args, batch_size=args.batch_size)
+
+    print("Normalizing CNF formula...")
+    var_mapping, normalized = normalize_cnf_variables(formula)
+
+    print("Simulating...")
+    from odesat_tpu.models.ode import simulate_batch
+
+    result = simulate_batch(normalized, config, stop_on="any", mesh=_mesh_from_args(args))
+
+    mapped_values = map_values_by_indices(var_mapping, result.best_assignment())
+    _finish(mapped_values, formula, args.output)
+    return 0
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+    handlers = {"solve": cmd_solve, "stoch": cmd_stoch, "batch": cmd_batch, "inter": cmd_inter}
+    return handlers[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

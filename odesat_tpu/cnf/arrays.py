@@ -1,0 +1,142 @@
+"""Formula → padded incidence arrays: the device representation.
+
+This is the TPU-first replacement for the reference's array-of-struct
+clause walk (reference: src/system.rs:35-90 iterates heap-allocated
+literal lists per clause). Here a formula is compiled **once** on the host
+into dense, statically-shaped arrays laid out for the TPU's (sublane,
+lane) tiling:
+
+* clause axis **last** (lanes, padded to a multiple of 128),
+* literal-slot axis first (sublanes, K = max clause width),
+
+so per-clause reductions (top-2 min over literals) are cheap sublane
+reductions and all per-literal elementwise math is lane-parallel.
+
+Two incidence encodings are produced:
+
+* ``lit_var/sign/lit_mask  : (K, M)`` — clause-major; used to gather
+  variable values and compute per-literal clause terms;
+* ``var_occ/occ_mask       : (N, D)`` — variable-major (transposed
+  incidence, D = max occurrences); used to accumulate per-variable
+  derivative contributions as a **gather + sum** instead of a scatter,
+  which TPUs execute far faster (SURVEY.md §7 hard-part #2).
+
+Padded literal slots carry ``sign == 0`` and point at variable 0; padded
+clause rows are masked out of the satisfaction flag and memory dynamics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from odesat_tpu.cnf.formula import CNFFormula
+
+
+def _round_up(x: int, multiple: int) -> int:
+    return ((x + multiple - 1) // multiple) * multiple if x else multiple
+
+
+@dataclass(frozen=True)
+class FormulaArrays:
+    """Static device-ready encoding of a CNF formula.
+
+    Shapes: ``lit_var/sign/lit_mask: (K, M)``, ``clause_mask/xs_init: (M,)``,
+    ``var_occ/occ_sign/occ_mask: (N, D)`` with ``var_occ`` flat indices into
+    the row-major flattened ``(K*M,)`` contribution array.
+    """
+
+    lit_var: np.ndarray
+    sign: np.ndarray
+    lit_mask: np.ndarray
+    clause_mask: np.ndarray
+    xs_init: np.ndarray
+    var_occ: np.ndarray
+    occ_mask: np.ndarray
+    n_vars: int  # declared varnum (state vector logical length)
+    n_vars_padded: int
+    n_clauses: int  # real clause count (xl clamp uses this)
+    n_clauses_padded: int
+    max_width: int
+    min_width: int  # unit clauses (width 1) produce infinite gradients
+    max_occ: int
+    density: float
+
+    def __repr__(self) -> str:  # compact — the arrays are large
+        return (
+            f"FormulaArrays(n_vars={self.n_vars}/{self.n_vars_padded}, "
+            f"n_clauses={self.n_clauses}/{self.n_clauses_padded}, "
+            f"K={self.max_width}, D={self.max_occ}, density={self.density:.3f})"
+        )
+
+
+def compile_formula(
+    formula: CNFFormula,
+    *,
+    dtype=np.float32,
+    clause_pad: int = 128,
+    var_pad: int = 128,
+) -> FormulaArrays:
+    """Compile a normalized formula (variables must be dense indices
+    ``0..k-1``; see :func:`normalize_cnf_variables`) into padded arrays.
+
+    ``xs_init`` encodes the reference's short-term-memory initialization:
+    +1 if the clause contains a negated literal else -1 — "the clause's
+    value if all variables are 0" (reference: src/system.rs:362-372).
+    """
+    if any(len(c) == 0 for c in formula.clauses):
+        raise ValueError("formula contains an empty clause (trivially UNSAT)")
+
+    M = formula.num_clauses
+    K = max(formula.max_clause_width, 1)
+    N = formula.varnum
+    used = formula.variable_set()
+    if used and (min(used) < 0 or max(used) >= N):
+        raise ValueError("formula is not normalized: variables must lie in [0, varnum)")
+
+    Mp = _round_up(M, clause_pad)
+    Np = _round_up(N, var_pad)
+
+    lit_var = np.zeros((K, Mp), dtype=np.int32)
+    sign = np.zeros((K, Mp), dtype=dtype)
+    lit_mask = np.zeros((K, Mp), dtype=dtype)
+    clause_mask = np.zeros((Mp,), dtype=dtype)
+    xs_init = np.full((Mp,), 1.0, dtype=dtype)
+
+    occurrences: list = [[] for _ in range(Np)]  # var -> flat (k*Mp + m) slots
+
+    for m, clause in enumerate(formula.clauses):
+        clause_mask[m] = 1.0
+        xs_init[m] = 1.0 if any(lit.is_negated for lit in clause) else -1.0
+        for k, lit in enumerate(clause):
+            lit_var[k, m] = lit.variable
+            sign[k, m] = -1.0 if lit.is_negated else 1.0
+            lit_mask[k, m] = 1.0
+            occurrences[lit.variable].append(k * Mp + m)
+
+    D = max((len(o) for o in occurrences), default=1) or 1
+    var_occ = np.zeros((Np, D), dtype=np.int32)
+    occ_mask = np.zeros((Np, D), dtype=dtype)
+    for i, occ in enumerate(occurrences):
+        if occ:
+            var_occ[i, : len(occ)] = occ
+            occ_mask[i, : len(occ)] = 1.0
+
+    return FormulaArrays(
+        lit_var=lit_var,
+        sign=sign,
+        lit_mask=lit_mask,
+        clause_mask=clause_mask,
+        xs_init=xs_init,
+        var_occ=var_occ,
+        occ_mask=occ_mask,
+        n_vars=N,
+        n_vars_padded=Np,
+        n_clauses=M,
+        n_clauses_padded=Mp,
+        max_width=K,
+        min_width=min((len(c) for c in formula.clauses), default=1),
+        max_occ=D,
+        density=formula.clause_density(),
+    )

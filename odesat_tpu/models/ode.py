@@ -1,0 +1,422 @@
+"""The continuous-time SAT engine: batched Euler integration under jit.
+
+TPU-first redesign of the reference integrators and drivers
+(reference: src/system.rs:93-359). Key departures from the Rust design,
+all deliberate (SURVEY.md §7):
+
+* **Trajectories are a batch axis**, not a round-robin host loop: the scan
+  carry is ``(v, xs, xl, dt, done)`` with a leading batch dimension; the
+  reference's ``inter`` mode (src/system.rs:241-359) becomes the same code
+  path with B > 1.
+* **Per-trajectory adaptive dt.** The reference's interlaced mode shares
+  one global dt across all trajectories (src/system.rs:314 — each
+  trajectory inherits whatever the previous one's error left behind);
+  here each trajectory carries its own dt, which is both the paper's
+  intent and the only design that vmaps.
+* **Early exit without leaving jit**: a naive scan always runs N steps;
+  instead the host dispatches fixed-size scan *chunks* and checks the
+  per-trajectory ``done`` flags between chunks. Solved trajectories are
+  frozen inside the chunk via ``where(done, old, new)`` so their states
+  (and the satisfying sign pattern) are preserved exactly.
+* **Formula arrays are step arguments** (a ``FormulaDevice`` pytree), not
+  closures, so the same step function runs unsharded, trajectory-sharded,
+  or clause-sharded under ``shard_map`` with psum'd dv contributions.
+
+Step semantics preserved from the reference:
+
+* fixed step: derivatives are computed, the clamped update is applied
+  **even on the step where allsat is detected**, then the loop breaks
+  (src/system.rs:141-154 + the break in simulate);
+* adaptive step (step doubling): one full-dt trial step vs two half-dt
+  steps with a mid-point derivative re-evaluation; inf-norm error over
+  all three state arrays; ``dt <- clip(dt*sqrt(tol/err), 2^-7, 1e3)``;
+  when allsat the state is *not* advanced (src/system.rs:111-139).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from odesat_tpu.cnf.arrays import FormulaArrays, compile_formula
+from odesat_tpu.cnf.formula import CNFFormula
+from odesat_tpu.constants import (
+    DT_INIT,
+    DT_MAX,
+    DT_MIN,
+    EPSILON,
+    XL_CAP_PER_CLAUSE,
+)
+from odesat_tpu.ops import rhs as rhs_ops
+from odesat_tpu.utils.config import ODEConfig, SolverConfig
+
+
+class ODEState(NamedTuple):
+    """Scan carry, batched over the leading axis.
+
+    v: (B, Np) variable values; xs/xl: (B, Mp) clause memories;
+    dt: (B,) per-trajectory step size; done: (B,) bool allsat latches.
+    """
+
+    v: jax.Array
+    xs: jax.Array
+    xl: jax.Array
+    dt: jax.Array
+    done: jax.Array
+
+
+class FormulaDevice(NamedTuple):
+    """Device-resident incidence arrays, passed to the step function so
+    they can be sharded over a clause mesh axis."""
+
+    lit_var: jax.Array  # (K, Mp) int32
+    sign: jax.Array  # (K, Mp)
+    lit_mask: jax.Array  # (K, Mp)
+    clause_mask: jax.Array  # (Mp,)
+    var_occ: jax.Array  # (Np, D) int32
+    occ_mask: jax.Array  # (Np, D)
+
+
+def formula_device(fa: FormulaArrays, dtype=jnp.float32) -> FormulaDevice:
+    return FormulaDevice(
+        lit_var=jnp.asarray(fa.lit_var),
+        sign=jnp.asarray(fa.sign, dtype=dtype),
+        lit_mask=jnp.asarray(fa.lit_mask, dtype=dtype),
+        clause_mask=jnp.asarray(fa.clause_mask, dtype=dtype),
+        var_occ=jnp.asarray(fa.var_occ),
+        occ_mask=jnp.asarray(fa.occ_mask, dtype=dtype),
+    )
+
+
+@dataclass
+class SolveResult:
+    """Outcome of a batched solve."""
+
+    assignment: np.ndarray  # (B, n_vars) bool readout sign(v) > 0
+    done: np.ndarray  # (B,) bool — trajectory reached allsat
+    steps: int  # scan steps dispatched per trajectory
+    solved_index: Optional[int]  # first done trajectory, else None
+    wall_time_s: float = 0.0
+
+    @property
+    def any_solved(self) -> bool:
+        return self.solved_index is not None
+
+    def best_assignment(self) -> np.ndarray:
+        """First satisfied trajectory's readout, else trajectory 0
+        (reference: src/system.rs:353-358)."""
+        idx = self.solved_index if self.solved_index is not None else 0
+        return self.assignment[idx]
+
+
+def _dtype(ode: ODEConfig):
+    return jnp.float64 if ode.dtype == "float64" else jnp.float32
+
+
+def init_state(
+    fa: FormulaArrays,
+    batch_size: int,
+    key: jax.Array,
+    ode: ODEConfig,
+    v0: Optional[np.ndarray] = None,
+) -> ODEState:
+    """Fresh trajectory batch: v ~ U(-1, 1), xs from the all-false clause
+    valuation, xl = 1, dt = 0.01 (reference: src/main.rs:170-174,
+    src/system.rs:205, 362-372)."""
+    dtype = _dtype(ode)
+    if v0 is not None:
+        v = jnp.broadcast_to(
+            jnp.asarray(v0, dtype=dtype), (batch_size, fa.n_vars_padded)
+        ).copy()
+    else:
+        v = jax.random.uniform(
+            key, (batch_size, fa.n_vars_padded), dtype=dtype, minval=-1.0, maxval=1.0
+        )
+    xs = jnp.broadcast_to(
+        jnp.asarray(fa.xs_init, dtype=dtype), (batch_size, fa.n_clauses_padded)
+    ).copy()
+    xl = jnp.ones((batch_size, fa.n_clauses_padded), dtype=dtype)
+    dt = jnp.full((batch_size,), DT_INIT, dtype=dtype)
+    done = jnp.zeros((batch_size,), dtype=jnp.bool_)
+    return ODEState(v, xs, xl, dt, done)
+
+
+def make_step_fn(fa: FormulaArrays, zeta: float, ode: ODEConfig, clause_axis: Optional[str] = None):
+    """Build ``step(state, dev) -> state`` for a batched ODEState.
+
+    When ``clause_axis`` is set, the step runs inside shard_map over that
+    mesh axis: dv contributions, the allsat flag, and the adaptive error
+    norm are reduced with psum/pmax over ICI.
+    """
+    xl_cap = XL_CAP_PER_CLAUSE * fa.n_clauses  # real clause count (src/system.rs:95)
+    zeta = float(zeta)
+    dv_strategy = ode.dv_strategy
+    if clause_axis is not None and dv_strategy in ("gather", "onehot", "pallas"):
+        # variable-major occurrence tables index the *global* flattened
+        # clause slots; under a clause shard each device only holds its
+        # slice, so fall back to a local segment-sum + psum.
+        dv_strategy = "segment_sum"
+    if dv_strategy == "onehot" and fa.min_width < 2:
+        # unit clauses carry infinite gradients (see ops/rhs.py); the
+        # one-hot matmul would turn inf * 0 into NaN, so fall back
+        dv_strategy = "gather"
+
+    pallas_rhs = None
+    if dv_strategy == "pallas":
+        from odesat_tpu.ops.rhs_pallas import make_pallas_rhs
+
+        pallas_rhs = make_pallas_rhs(fa, zeta=zeta, rigidity=ode.rigidity, dtype=_dtype(ode))
+
+    onehot = None
+    if dv_strategy == "onehot":
+        # constant (K*M, N) incidence matrix, baked at build time so the
+        # MXU matmul reuses one buffer instead of rematerializing it
+        onehot = rhs_ops.build_onehot(
+            jnp.asarray(fa.lit_var), jnp.asarray(fa.lit_mask), fa.n_vars_padded, dtype=_dtype(ode)
+        )
+
+    def derivs(v, xs, xl, dev: FormulaDevice):
+        if pallas_rhs is not None:
+            return pallas_rhs(v, xs, xl)
+        dv, dxs, dxl, allsat = rhs_ops.compute_derivatives(
+            v,
+            xs,
+            xl,
+            lit_var=dev.lit_var,
+            sign=dev.sign,
+            lit_mask=dev.lit_mask,
+            clause_mask=dev.clause_mask,
+            var_occ=dev.var_occ,
+            occ_mask=dev.occ_mask,
+            zeta=zeta,
+            rigidity=ode.rigidity,
+            dv_strategy=dv_strategy,
+            onehot=onehot,
+        )
+        if clause_axis is not None:
+            dv = jax.lax.psum(dv, clause_axis)
+            allsat = jax.lax.psum((~allsat).astype(jnp.int32), clause_axis) == 0
+        return dv, dxs, dxl, allsat
+
+    def update(v, xs, xl, dv, dxs, dxl, dt):
+        """Clamped Euler update (reference: src/system.rs:93-97).
+        dt broadcasts per trajectory: (B,) against (B, ...).
+
+        fmax/fmin (NaN-ignoring) match Rust's f64::max/min: a NaN update
+        (conflicting unit clauses summing +inf and -inf) clamps to the
+        lower bound instead of poisoning the state."""
+        dt_c = dt[..., None]
+        xs2 = jnp.fmin(jnp.fmax(xs + dt_c * dxs, EPSILON), 1.0 - EPSILON)
+        xl2 = jnp.fmin(jnp.fmax(xl + dt_c * dxl, 1.0), xl_cap)
+        v2 = jnp.fmin(jnp.fmax(v + dt_c * dv, -1.0), 1.0)
+        return v2, xs2, xl2
+
+    def freeze(cond, new, old):
+        return jnp.where(cond[..., None], new, old)
+
+    if ode.step_size is not None:
+        dt_fixed = float(ode.step_size)
+
+        def step(state: ODEState, dev: FormulaDevice) -> ODEState:
+            dv, dxs, dxl, allsat = derivs(state.v, state.xs, state.xl, dev)
+            active = ~state.done
+            dt_b = jnp.where(active, dt_fixed, 0.0).astype(state.v.dtype)
+            v, xs, xl = update(state.v, state.xs, state.xl, dv, dxs, dxl, dt_b)
+            done = state.done | allsat
+            return ODEState(v, xs, xl, state.dt, done)
+
+    else:
+        tol = float(ode.tolerance)
+
+        def step(state: ODEState, dev: FormulaDevice) -> ODEState:
+            dv, dxs, dxl, allsat = derivs(state.v, state.xs, state.xl, dev)
+            advance = ~state.done & ~allsat  # src/system.rs:122: no update when allsat
+            dt = state.dt
+
+            # one full step (trial) vs two half steps (kept)
+            fv, fxs, fxl = update(state.v, state.xs, state.xl, dv, dxs, dxl, dt)
+            hv, hxs, hxl = update(state.v, state.xs, state.xl, dv, dxs, dxl, 0.5 * dt)
+            dv2, dxs2, dxl2, _ = derivs(hv, hxs, hxl, dev)
+            tv, txs, txl = update(hv, hxs, hxl, dv2, dxs2, dxl2, 0.5 * dt)
+
+            err = jnp.maximum(
+                jnp.max(jnp.abs(fv - tv), axis=-1),
+                jnp.maximum(
+                    jnp.max(jnp.abs(fxs - txs), axis=-1),
+                    jnp.max(jnp.abs(fxl - txl), axis=-1),
+                ),
+            )
+            if clause_axis is not None:
+                err = jax.lax.pmax(err, clause_axis)
+            # err == 0 -> dt hits the ceiling, like the reference's
+            # dt*inf clamped at 1e3 (src/system.rs:132-135).
+            new_dt = jnp.clip(dt * jnp.sqrt(tol / jnp.maximum(err, 1e-30)), DT_MIN, DT_MAX)
+
+            v = freeze(advance, tv, state.v)
+            xs = freeze(advance, txs, state.xs)
+            xl = freeze(advance, txl, state.xl)
+            dt = jnp.where(advance, new_dt, state.dt)
+            done = state.done | allsat
+            return ODEState(v, xs, xl, dt, done)
+
+    return step
+
+
+def make_chunk_runner(fa: FormulaArrays, zeta: float, ode: ODEConfig, chunk_steps: int):
+    """Jitted ``(state, dev) -> state`` advancing every trajectory by
+    ``chunk_steps`` steps (solved trajectories stay frozen). The state
+    buffers are donated so XLA updates them in place."""
+    step = make_step_fn(fa, zeta, ode)
+
+    def run_chunk(state: ODEState, dev: FormulaDevice) -> ODEState:
+        def body(carry, _):
+            return step(carry, dev), None
+
+        out, _ = jax.lax.scan(body, state, None, length=chunk_steps)
+        return out
+
+    return jax.jit(run_chunk, donate_argnums=0)
+
+
+def _readout(state: ODEState, n_vars: int) -> np.ndarray:
+    """Boolean readout: v > 0 (reference: src/system.rs:238)."""
+    return np.asarray(state.v[:, :n_vars] > 0.0)
+
+
+def _resolve_key(config: SolverConfig, key: Optional[jax.Array]) -> jax.Array:
+    if key is not None:
+        return key
+    seed = config.seed if config.seed is not None else int.from_bytes(os.urandom(4), "little")
+    return jax.random.PRNGKey(seed)
+
+
+def simulate_batch(
+    formula_or_arrays,
+    config: SolverConfig,
+    key: Optional[jax.Array] = None,
+    v0: Optional[np.ndarray] = None,
+    stop_on: str = "any",
+    harvest=None,
+    mesh=None,
+) -> SolveResult:
+    """Run ``config.batch_size`` trajectories to completion or budget.
+
+    ``stop_on``: "any" stops as soon as one trajectory reaches allsat
+    (reference inter semantics, src/system.rs:291); "all" runs until every
+    trajectory is done or the budget is exhausted (parallel-restart /
+    batch semantics). ``harvest(state) -> bool`` is called between chunks;
+    returning True stops the run (used for oracle-verified early exit).
+    ``mesh``: a ('traj', 'clause') jax Mesh to shard over; None runs on
+    one device.
+    """
+    if isinstance(formula_or_arrays, FormulaArrays):
+        fa = formula_or_arrays
+    elif mesh is not None:
+        from odesat_tpu.parallel.sharded import compile_for_mesh
+
+        fa = compile_for_mesh(formula_or_arrays, config, mesh)
+    else:
+        fa = compile_formula(
+            formula_or_arrays, clause_pad=config.clause_pad, var_pad=config.var_pad
+        )
+    ode = config.ode
+    zeta = ode.resolve_zeta(fa.density)
+    key = _resolve_key(config, key)
+
+    state = init_state(fa, config.batch_size, key, ode, v0=v0)
+    dev = formula_device(fa, dtype=_dtype(ode))
+
+    if mesh is None:
+        runner = make_chunk_runner(fa, zeta, ode, config.chunk_steps)
+        make_tail = lambda n: make_chunk_runner(fa, zeta, ode, n)  # noqa: E731
+    else:
+        from odesat_tpu.parallel.sharded import make_sharded_chunk_runner, shard_inputs
+
+        state, dev = shard_inputs(state, dev, mesh)
+        runner = make_sharded_chunk_runner(fa, zeta, ode, config.chunk_steps, mesh)
+        make_tail = lambda n: make_sharded_chunk_runner(fa, zeta, ode, n, mesh)  # noqa: E731
+
+    tail_runner = None
+    budget = ode.steps  # None => unbounded
+    steps_run = 0
+    t0 = time.perf_counter()
+    chunks = 0
+    profiling = False
+    if config.profile_dir:
+        jax.profiler.start_trace(config.profile_dir)
+        profiling = True
+    try:
+        while True:
+            remaining = None if budget is None else budget - steps_run
+            if remaining is not None and remaining <= 0:
+                break
+            if remaining is not None and remaining < config.chunk_steps:
+                if tail_runner is None:
+                    tail_runner = make_tail(remaining)
+                state = tail_runner(state, dev)
+                steps_run += remaining
+            else:
+                state = runner(state, dev)
+                steps_run += config.chunk_steps
+            chunks += 1
+
+            done = np.asarray(state.done)
+            if stop_on == "any" and done.any():
+                break
+            if done.all():
+                break
+            if harvest is not None and harvest(state):
+                break
+            if (
+                config.wall_clock_budget_s is not None
+                and time.perf_counter() - t0 > config.wall_clock_budget_s
+            ):
+                break
+            if config.log_every_chunks and chunks % config.log_every_chunks == 0:
+                from odesat_tpu.utils.logging import log_chunk
+
+                log_chunk(state, steps_run)
+            if (
+                config.checkpoint_every_chunks
+                and config.checkpoint_path
+                and chunks % config.checkpoint_every_chunks == 0
+            ):
+                from odesat_tpu.utils.checkpoint import save_state
+
+                save_state(config.checkpoint_path, state, steps_run)
+    finally:
+        if profiling:
+            jax.profiler.stop_trace()
+
+    done = np.asarray(state.done)
+    solved = np.flatnonzero(done)
+    return SolveResult(
+        assignment=_readout(state, fa.n_vars),
+        done=done,
+        steps=steps_run,
+        solved_index=int(solved[0]) if solved.size else None,
+        wall_time_s=time.perf_counter() - t0,
+    )
+
+
+def simulate(
+    formula: CNFFormula,
+    config: Optional[SolverConfig] = None,
+    key: Optional[jax.Array] = None,
+    v0: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Single-trajectory solve returning the boolean readout of length
+    ``varnum`` (reference: src/system.rs:156-239). The formula must be
+    normalized (dense variable indices)."""
+    config = config or SolverConfig()
+    if config.batch_size != 1:
+        config = dataclasses.replace(config, batch_size=1)
+    result = simulate_batch(formula, config, key=key, v0=v0)
+    return result.assignment[0]

@@ -1,0 +1,194 @@
+"""Stochastic discrete engine: clause-weighted randomized local search.
+
+TPU-first rebuild of the reference's second solver (reference:
+src/stoch.rs:1-110). Per step:
+
+* every clause is evaluated against the boolean assignment
+  (src/stoch.rs:20-25);
+* clause weights update: satisfied -> max(xl-1, 1), unsatisfied ->
+  xl + 20 (src/stoch.rs:47-51, ALPHA=20);
+* every variable accumulates ``total = sum xl`` over clauses containing
+  it and ``unsat = sum xl`` over *unsatisfied* clauses containing it,
+  using the **post-update** weights (src/stoch.rs:53-59);
+* each variable flips with probability ``unsat/total``
+  (src/stoch.rs:67-75 draws an integer in [1, total] and flips when
+  <= unsat — identical in distribution to a uniform float < unsat/total).
+
+Design departures, all deliberate:
+
+* the clause walk becomes masked array ops over the same padded (K, M)
+  incidence arrays as the ODE engine, and the per-variable weight sums
+  are the same variable-major gather+sum — no scatters;
+* trajectories are a vmapped batch with explicit PRNG keys (the reference
+  uses an unseeded thread_rng, so no reference run is reproducible —
+  SURVEY.md §5 calls for seedability);
+* clause weights are int32 clamped to [1, 2**24] instead of saturating
+  u64: weights beyond 16.7M are indistinguishable for the flip
+  probabilities, and int32 keeps the TPU on its native integer path.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from odesat_tpu.cnf.arrays import FormulaArrays, compile_formula
+from odesat_tpu.cnf.formula import CNFFormula
+from odesat_tpu.constants import STOCH_ALPHA
+from odesat_tpu.utils.config import SolverConfig
+
+XL_CAP = 2**24
+
+
+class StochState(NamedTuple):
+    v: jax.Array  # (B, Np) bool assignment
+    xl: jax.Array  # (B, Mp) int32 clause weights
+    done: jax.Array  # (B,) bool
+    key: jax.Array  # PRNG key
+
+
+@dataclass
+class StochResult:
+    assignment: np.ndarray  # (B, n_vars) bool
+    done: np.ndarray  # (B,)
+    steps: int
+    solved_index: Optional[int]
+    wall_time_s: float = 0.0
+
+    def best_assignment(self) -> np.ndarray:
+        idx = self.solved_index if self.solved_index is not None else 0
+        return self.assignment[idx]
+
+
+def init_stoch_state(fa: FormulaArrays, batch_size: int, key: jax.Array) -> StochState:
+    """All-false start, unit weights (reference: src/stoch.rs:84-87)."""
+    v = jnp.zeros((batch_size, fa.n_vars_padded), dtype=jnp.bool_)
+    xl = jnp.ones((batch_size, fa.n_clauses_padded), dtype=jnp.int32)
+    done = jnp.zeros((batch_size,), dtype=jnp.bool_)
+    return StochState(v, xl, done, key)
+
+
+def make_stoch_step(fa: FormulaArrays):
+    lit_var = jnp.asarray(fa.lit_var)  # (K, M)
+    pos = jnp.asarray(fa.sign > 0)
+    lit_mask = jnp.asarray(fa.lit_mask > 0)
+    clause_mask = jnp.asarray(fa.clause_mask > 0)  # (M,)
+    var_occ = jnp.asarray(fa.var_occ)  # (N, D)
+    occ_mask = jnp.asarray(fa.occ_mask > 0)
+    has_occ = jnp.asarray(fa.occ_mask.sum(axis=-1) > 0)  # vars with any clause
+    K, M = fa.lit_var.shape
+
+    def step(state: StochState) -> StochState:
+        key, sub = jax.random.split(state.key)
+
+        lit_true = state.v[:, lit_var] == pos  # (B, K, M)
+        sat = jnp.any(lit_true & lit_mask, axis=-2)  # (B, M)
+
+        # weight update (post-update weights feed the flip probabilities)
+        xl = jnp.where(
+            sat,
+            jnp.maximum(state.xl - 1, 1),
+            jnp.minimum(state.xl + STOCH_ALPHA, XL_CAP),
+        )
+        xl = jnp.where(clause_mask, xl, 0)
+
+        # per-variable weight sums via variable-major gather
+        xl_f = xl.astype(jnp.float32)
+        xl_lit = jnp.broadcast_to(xl_f[:, None, :], (xl.shape[0], K, M)).reshape(
+            xl.shape[0], K * M
+        )
+        unsat_lit = jnp.broadcast_to(
+            (xl_f * (~sat)).astype(jnp.float32)[:, None, :], (xl.shape[0], K, M)
+        ).reshape(xl.shape[0], K * M)
+        total = jnp.sum(xl_lit[:, var_occ] * occ_mask, axis=-1)  # (B, N)
+        unsat_w = jnp.sum(unsat_lit[:, var_occ] * occ_mask, axis=-1)
+
+        u = jax.random.uniform(sub, total.shape, dtype=jnp.float32)
+        flip = (u * total < unsat_w) & has_occ
+
+        active = ~state.done
+        all_sat = jnp.all(sat | ~clause_mask, axis=-1)
+        v = jnp.where(active[:, None] & flip, ~state.v, state.v)
+        xl = jnp.where(active[:, None], xl, state.xl)
+        done = state.done | all_sat
+        return StochState(v, xl, done, key)
+
+    return step
+
+
+def make_stoch_chunk_runner(fa: FormulaArrays, chunk_steps: int):
+    step = make_stoch_step(fa)
+
+    def run_chunk(state: StochState) -> StochState:
+        def body(carry, _):
+            return step(carry), None
+
+        out, _ = jax.lax.scan(body, state, None, length=chunk_steps)
+        return out
+
+    return jax.jit(run_chunk, donate_argnums=0)
+
+
+def search(
+    formula_or_arrays,
+    config: Optional[SolverConfig] = None,
+    key: Optional[jax.Array] = None,
+) -> StochResult:
+    """Batched stochastic search (reference: src/stoch.rs:80-110 runs one
+    chain; here ``config.batch_size`` chains run vmapped with early exit
+    when any chain satisfies every clause)."""
+    config = config or SolverConfig()
+    fa = (
+        formula_or_arrays
+        if isinstance(formula_or_arrays, FormulaArrays)
+        else compile_formula(
+            formula_or_arrays, clause_pad=config.clause_pad, var_pad=config.var_pad
+        )
+    )
+    if key is None:
+        seed = config.seed if config.seed is not None else int.from_bytes(__import__("os").urandom(4), "little")
+        key = jax.random.PRNGKey(seed)
+
+    state = init_stoch_state(fa, config.batch_size, key)
+    runner = make_stoch_chunk_runner(fa, config.chunk_steps)
+    tail_runner = None
+
+    budget = config.ode.steps
+    steps_run = 0
+    t0 = time.perf_counter()
+    while True:
+        remaining = None if budget is None else budget - steps_run
+        if remaining is not None and remaining <= 0:
+            break
+        if remaining is not None and remaining < config.chunk_steps:
+            if tail_runner is None:
+                tail_runner = make_stoch_chunk_runner(fa, remaining)
+            state = tail_runner(state)
+            steps_run += remaining
+        else:
+            state = runner(state)
+            steps_run += config.chunk_steps
+
+        done = np.asarray(state.done)
+        if done.any():
+            break
+        if (
+            config.wall_clock_budget_s is not None
+            and time.perf_counter() - t0 > config.wall_clock_budget_s
+        ):
+            break
+
+    done = np.asarray(state.done)
+    solved = np.flatnonzero(done)
+    return StochResult(
+        assignment=np.asarray(state.v[:, : fa.n_vars]),
+        done=done,
+        steps=steps_run,
+        solved_index=int(solved[0]) if solved.size else None,
+        wall_time_s=time.perf_counter() - t0,
+    )

@@ -1,0 +1,126 @@
+"""Mesh-sharded solve paths.
+
+Two axes of parallelism (SURVEY.md §2b — the reference has neither):
+
+* ``traj``: the trajectory batch shards over devices as pure data
+  parallelism. No communication inside the step; the only cross-device
+  traffic is the host's between-chunk pull of the (B,) done flags.
+* ``clause``: for CNFs whose incidence arrays dwarf one chip, the padded
+  clause axis shards over devices. Inside shard_map each device computes
+  its clauses' contributions; per-variable dv segments are psum-reduced
+  over ICI, the allsat flag is an AND-reduce, and the adaptive error norm
+  a pmax (see make_step_fn's clause_axis handling in models/ode.py).
+
+Validated without hardware via
+``XLA_FLAGS=--xla_force_host_platform_device_count=N`` (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from odesat_tpu.cnf.arrays import FormulaArrays, compile_formula
+from odesat_tpu.models.ode import FormulaDevice, ODEState, make_step_fn
+from odesat_tpu.utils.config import ODEConfig, SolverConfig
+
+STATE_SPECS = ODEState(
+    v=P("traj"),  # replicated over 'clause'
+    xs=P("traj", "clause"),
+    xl=P("traj", "clause"),
+    dt=P("traj"),
+    done=P("traj"),
+)
+
+DEV_SPECS = FormulaDevice(
+    lit_var=P(None, "clause"),
+    sign=P(None, "clause"),
+    lit_mask=P(None, "clause"),
+    clause_mask=P("clause"),
+    var_occ=P(),  # only used unsharded; replicated
+    occ_mask=P(),
+)
+
+
+def compile_for_mesh(formula, config: SolverConfig, mesh: Mesh) -> FormulaArrays:
+    """Compile with padding compatible with the mesh: the clause axis must
+    divide evenly across the 'clause' dimension."""
+    n_clause = mesh.shape.get("clause", 1)
+    clause_pad = config.clause_pad * n_clause
+    return compile_formula(formula, clause_pad=clause_pad, var_pad=config.var_pad)
+
+
+def shard_inputs(state: ODEState, dev: FormulaDevice, mesh: Mesh):
+    """Lay out the state and incidence arrays on the mesh."""
+    state = jax.tree.map(
+        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)), state, STATE_SPECS
+    )
+    dev = jax.tree.map(
+        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)), dev, DEV_SPECS
+    )
+    return state, dev
+
+
+def shard_state(state: ODEState, mesh: Mesh) -> ODEState:
+    return jax.tree.map(
+        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)), state, STATE_SPECS
+    )
+
+
+def make_sharded_chunk_runner(
+    fa: FormulaArrays, zeta: float, ode: ODEConfig, chunk_steps: int, mesh: Mesh
+):
+    """Jitted ``(state, dev) -> state`` over the mesh. With a trivial
+    clause axis this is plain DP (GSPMD partitions the batch); with
+    clause sharding the step runs under shard_map with explicit
+    collectives."""
+    n_clause = mesh.shape.get("clause", 1)
+    clause_axis = "clause" if n_clause > 1 else None
+    step = make_step_fn(fa, zeta, ode, clause_axis=clause_axis)
+
+    def run_chunk(state: ODEState, dev: FormulaDevice) -> ODEState:
+        def body(carry, _):
+            return step(carry, dev), None
+
+        out, _ = jax.lax.scan(body, state, None, length=chunk_steps)
+        return out
+
+    if clause_axis is None:
+        return jax.jit(
+            run_chunk,
+            in_shardings=(
+                jax.tree.map(lambda s: NamedSharding(mesh, s), STATE_SPECS),
+                jax.tree.map(lambda s: NamedSharding(mesh, s), DEV_SPECS),
+            ),
+            out_shardings=jax.tree.map(lambda s: NamedSharding(mesh, s), STATE_SPECS),
+            donate_argnums=0,
+        )
+
+    sharded = shard_map(
+        run_chunk,
+        mesh=mesh,
+        in_specs=(STATE_SPECS, DEV_SPECS),
+        out_specs=STATE_SPECS,
+    )
+    return jax.jit(sharded, donate_argnums=0)
+
+
+def simulate_batch_sharded(
+    formula,
+    config: SolverConfig,
+    mesh: Mesh,
+    key: Optional[jax.Array] = None,
+    v0: Optional[np.ndarray] = None,
+    stop_on: str = "any",
+):
+    """Mesh-sharded batched solve; same semantics as
+    models.ode.simulate_batch on one device."""
+    from odesat_tpu.models.ode import simulate_batch
+
+    fa = compile_for_mesh(formula, config, mesh) if not isinstance(formula, FormulaArrays) else formula
+    return simulate_batch(fa, config, key=key, v0=v0, stop_on=stop_on, mesh=mesh)

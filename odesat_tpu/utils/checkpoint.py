@@ -1,0 +1,44 @@
+"""Solver-state checkpointing.
+
+The reference persists nothing but the final assignment file
+(reference: src/main.rs:196-199); SURVEY.md §5 recommends optional
+snapshots of the scan carry between chunks as cheap insurance on long pod
+runs. States are small (B x (N + 2M)), so a plain .npz is sufficient and
+dependency-free; orbax is overkill for this shape of data.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+
+
+def save_state(path: str, state, steps: int) -> None:
+    """Atomically snapshot a solver state NamedTuple (ODEState or
+    StochState) plus the step counter."""
+    arrays = {f"field_{name}": np.asarray(value) for name, value in state._asdict().items()}
+    arrays["steps"] = np.asarray(steps)
+    arrays["fields"] = np.asarray(list(state._fields))
+    directory = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(directory, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=directory, suffix=".npz.tmp")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            np.savez(fh, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_state(path: str, state_cls):
+    """Load a snapshot back into ``state_cls`` (ODEState or StochState).
+    Returns (state, steps)."""
+    with np.load(path, allow_pickle=False) as data:
+        fields = [str(f) for f in data["fields"]]
+        values = [data[f"field_{name}"] for name in fields]
+        steps = int(data["steps"])
+    return state_cls(*values), steps

@@ -1,0 +1,62 @@
+"""Solver configuration.
+
+The reference keeps all knobs as clap CLI flags and in-code constants
+(reference: src/main.rs:31-141, src/system.rs:19-23,164-174); here they
+are dataclasses so library users, the CLI, and tests share one config
+surface. Field names mirror the reference flags (`-t` tolerance, `-n`
+steps, `-s` step_size, `-l` learning_rate/zeta, `-r` ctv_ratio, `-b`
+batch_size) plus TPU-specific knobs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Optional
+
+
+def zeta_for_density(density: float) -> float:
+    """Learning-rate table keyed on clause-to-variable density
+    (reference: src/system.rs:164-173)."""
+    if density >= 6.0:
+        return 0.1
+    if density >= 4.9:
+        return 0.01
+    return 0.001
+
+
+@dataclass(frozen=True)
+class ODEConfig:
+    """Knobs of the ODE engine itself (reference layer L2)."""
+
+    tolerance: float = 1e-3  # adaptive error tolerance (src/system.rs:174)
+    step_size: Optional[float] = None  # fixed dt; None => adaptive (src/main.rs:49-51)
+    steps: Optional[int] = None  # step budget; None => unbounded
+    zeta: Optional[float] = None  # learning rate; None => density table
+    rigidity: str = "paper"  # "paper" (argmin gate) | "reference" (exact-zero gate), SURVEY.md §2a
+    dtype: str = "float32"  # "float32" | "float64" (reference is f64; TPU wants f32)
+    dv_strategy: str = "gather"  # "gather" | "segment_sum" | "onehot" | "pallas"
+
+    def resolve_zeta(self, density: float) -> float:
+        return self.zeta if self.zeta is not None else zeta_for_density(density)
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """End-to-end solve configuration (CLI surface + runtime knobs)."""
+
+    ode: ODEConfig = field(default_factory=ODEConfig)
+    ctv_ratio: float = 7.0  # preprocessing target ratio (src/main.rs:150-154)
+    preprocess: bool = True  # solve/stoch preprocess; batch/inter don't (src/main.rs:269,341)
+    batch_size: int = 1  # trajectories per solve
+    seed: Optional[int] = None  # None => nondeterministic (reference uses thread_rng)
+    chunk_steps: int = 256  # scan steps per device dispatch (early-exit granularity)
+    var_pad: int = 128
+    clause_pad: int = 128
+    checkpoint_path: Optional[str] = None  # optional state snapshot between chunks
+    checkpoint_every_chunks: int = 0  # 0 => disabled
+    profile_dir: Optional[str] = None  # jax.profiler trace output
+    log_every_chunks: int = 0  # 0 => no periodic progress logs
+    wall_clock_budget_s: Optional[float] = None  # stop unbounded runs after this
+
+    def with_ode(self, **kwargs) -> "SolverConfig":
+        return replace(self, ode=replace(self.ode, **kwargs))

@@ -1,0 +1,99 @@
+"""Mesh-sharded paths vs the single-device path on an 8-virtual-device CPU
+mesh (SURVEY.md §4: "mesh-sharded trajectory batches and clause-sharded
+psum RHS must produce identical results to the single-device path")."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from odesat_tpu.cnf import compile_formula, normalize_cnf_variables, parse_dimacs_file
+from odesat_tpu.models.ode import (
+    formula_device,
+    init_state,
+    make_chunk_runner,
+    simulate_batch,
+)
+from odesat_tpu.parallel.mesh import make_mesh
+from odesat_tpu.parallel.sharded import (
+    compile_for_mesh,
+    make_sharded_chunk_runner,
+    shard_inputs,
+)
+from odesat_tpu.utils.config import ODEConfig, SolverConfig
+
+
+requires_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def _inputs(data_dir, config, mesh=None, batch=16):
+    formula = parse_dimacs_file(os.path.join(data_dir, "small.cnf"))
+    _, normalized = normalize_cnf_variables(formula)
+    if mesh is not None:
+        fa = compile_for_mesh(normalized, config, mesh)
+    else:
+        fa = compile_formula(normalized, clause_pad=config.clause_pad, var_pad=config.var_pad)
+    key = jax.random.PRNGKey(123)
+    state = init_state(fa, batch, key, config.ode)
+    dev = formula_device(fa)
+    return fa, state, dev
+
+
+@requires_8
+@pytest.mark.parametrize("step_kind", ["fixed", "adaptive"])
+def test_traj_sharded_matches_single(data_dir, step_kind):
+    ode = ODEConfig(step_size=0.01 if step_kind == "fixed" else None, tolerance=1e-3)
+    config = SolverConfig(ode=ode, chunk_steps=32)
+    mesh = make_mesh(8, 1)
+
+    fa, state, dev = _inputs(data_dir, config)
+    ref_runner = make_chunk_runner(fa, 0.001, ode, 32)
+    ref = ref_runner(state, dev)
+
+    fa2, state2, dev2 = _inputs(data_dir, config, mesh=mesh)
+    state2, dev2 = shard_inputs(state2, dev2, mesh)
+    runner = make_sharded_chunk_runner(fa2, 0.001, ode, 32, mesh)
+    out = runner(state2, dev2)
+
+    np.testing.assert_allclose(np.asarray(ref.v), np.asarray(out.v), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ref.done), np.asarray(out.done))
+
+
+@requires_8
+@pytest.mark.parametrize("step_kind", ["fixed", "adaptive"])
+def test_clause_sharded_matches_single(data_dir, step_kind):
+    ode = ODEConfig(step_size=0.01 if step_kind == "fixed" else None, tolerance=1e-3)
+    config = SolverConfig(ode=ode, chunk_steps=16, clause_pad=8)
+    mesh = make_mesh(2, 4)  # 2-way traj x 4-way clause
+
+    fa, state, dev = _inputs(data_dir, config, mesh=mesh, batch=4)
+    ref_runner = make_chunk_runner(fa, 0.001, ode, 16)
+    # copy because runners donate their input buffers
+    state_copy = jax.tree.map(lambda x: x.copy(), state)
+    ref = ref_runner(state_copy, dev)
+
+    state2, dev2 = shard_inputs(state, dev, mesh)
+    runner = make_sharded_chunk_runner(fa, 0.001, ode, 16, mesh)
+    out = runner(state2, dev2)
+
+    np.testing.assert_allclose(np.asarray(ref.v), np.asarray(out.v), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ref.xs), np.asarray(out.xs), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ref.xl), np.asarray(out.xl), rtol=1e-5, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(ref.done), np.asarray(out.done))
+
+
+@requires_8
+def test_simulate_batch_with_mesh_end_to_end(data_dir):
+    formula = parse_dimacs_file(os.path.join(data_dir, "small.cnf"))
+    var_mapping, normalized = normalize_cnf_variables(formula)
+    mesh = make_mesh(4, 2)
+    config = SolverConfig(
+        ode=ODEConfig(step_size=0.01, steps=1000), batch_size=16, seed=5, chunk_steps=64
+    )
+    result = simulate_batch(normalized, config, mesh=mesh)
+    assert result.any_solved
+    from odesat_tpu.cnf import evaluate_cnf, map_values_by_indices
+
+    mapped = map_values_by_indices(var_mapping, result.best_assignment())
+    assert evaluate_cnf(mapped, formula)

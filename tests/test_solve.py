@@ -1,0 +1,107 @@
+"""End-to-end solves on the bundled fixtures (SURVEY.md §4 integration
+tier): small.cnf and easy.cnf yield verified SAT; hard.cnf (UNSAT,
+hard.cnf:9) exhausts its budget with verdict false."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from odesat_tpu.cnf import (
+    compile_formula,
+    evaluate_cnf,
+    map_values_by_indices,
+    normalize_cnf_variables,
+    parse_dimacs_file,
+)
+from odesat_tpu.models.ode import simulate_batch
+from odesat_tpu.preprocess import preprocess_formula, reconstruct_witness
+from odesat_tpu.utils.config import ODEConfig, SolverConfig
+
+
+def _solve_pipeline(path, config, preprocess=True, ratio=7.0):
+    """The reference solve pipeline (src/main.rs:143-204)."""
+    formula = parse_dimacs_file(path)
+    if preprocess:
+        reduced, trace = preprocess_formula(formula, ratio)
+    else:
+        reduced, trace = formula, None
+    var_mapping, normalized = normalize_cnf_variables(reduced)
+    result = simulate_batch(normalized, config)
+    mapped = map_values_by_indices(var_mapping, result.best_assignment())
+    if trace is not None:
+        reconstruct_witness(mapped, trace)
+    return evaluate_cnf(mapped, formula), result
+
+
+def test_solve_small(data_dir):
+    config = SolverConfig(
+        ode=ODEConfig(step_size=0.01, steps=2000),
+        batch_size=4,
+        seed=0,
+        chunk_steps=128,
+    )
+    ok, result = _solve_pipeline(os.path.join(data_dir, "small.cnf"), config)
+    assert ok, "small.cnf must verify SAT"
+
+
+def test_solve_easy_preprocessed(data_dir):
+    config = SolverConfig(
+        ode=ODEConfig(steps=4000),  # adaptive
+        batch_size=8,
+        seed=1,
+        chunk_steps=256,
+    )
+    ok, result = _solve_pipeline(os.path.join(data_dir, "easy.cnf"), config)
+    assert ok, "easy.cnf must verify SAT after preprocessing"
+    assert result.any_solved
+
+
+def test_hard_budget_exhaustion(data_dir):
+    """hard.cnf is UNSAT: the solver must run out its budget and the
+    verdict must be false (reference behavior on an UNSAT input)."""
+    config = SolverConfig(
+        ode=ODEConfig(step_size=0.01, steps=300),
+        batch_size=2,
+        seed=2,
+        chunk_steps=128,
+    )
+    ok, result = _solve_pipeline(
+        os.path.join(data_dir, "hard.cnf"), config, preprocess=False
+    )
+    assert not ok
+    assert result.steps == 300
+    assert result.solved_index is None
+
+
+def test_batch_restarts_and_inter_parity(data_dir):
+    """batch (parallel restarts, stop_on='all') and inter (stop_on='any')
+    both find verified solutions on small.cnf."""
+    path = os.path.join(data_dir, "small.cnf")
+    formula = parse_dimacs_file(path)
+    var_mapping, normalized = normalize_cnf_variables(formula)
+
+    config = SolverConfig(
+        ode=ODEConfig(step_size=0.01, steps=1000), batch_size=16, seed=3, chunk_steps=128
+    )
+    inter = simulate_batch(normalized, config, stop_on="any")
+    assert inter.any_solved
+    mapped = map_values_by_indices(var_mapping, inter.best_assignment())
+    assert evaluate_cnf(mapped, formula)
+
+    batch = simulate_batch(normalized, config, stop_on="all")
+    assert batch.done.sum() >= 1
+    mapped = map_values_by_indices(var_mapping, batch.best_assignment())
+    assert evaluate_cnf(mapped, formula)
+
+
+def test_seed_reproducibility(data_dir):
+    path = os.path.join(data_dir, "small.cnf")
+    formula = parse_dimacs_file(path)
+    _, normalized = normalize_cnf_variables(formula)
+    config = SolverConfig(ode=ODEConfig(step_size=0.01, steps=200), batch_size=4, seed=42)
+    r1 = simulate_batch(normalized, config)
+    r2 = simulate_batch(normalized, config)
+    np.testing.assert_array_equal(r1.assignment, r2.assignment)
+    assert r1.steps == r2.steps

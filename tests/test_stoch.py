@@ -1,0 +1,89 @@
+"""Stochastic engine tests (reference: src/stoch.rs)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from odesat_tpu.cnf import (
+    compile_formula,
+    evaluate_cnf,
+    map_values_by_indices,
+    normalize_cnf_variables,
+    parse_dimacs_file,
+)
+from odesat_tpu.models.stoch import init_stoch_state, make_stoch_step, search
+from odesat_tpu.utils.config import ODEConfig, SolverConfig
+
+
+def test_stoch_solves_small(data_dir):
+    formula = parse_dimacs_file(os.path.join(data_dir, "small.cnf"))
+    var_mapping, normalized = normalize_cnf_variables(formula)
+    config = SolverConfig(
+        ode=ODEConfig(steps=2000), batch_size=8, seed=0, chunk_steps=128
+    )
+    result = search(normalized, config)
+    assert result.solved_index is not None
+    mapped = map_values_by_indices(var_mapping, result.best_assignment())
+    assert evaluate_cnf(mapped, formula)
+
+
+def test_stoch_weight_update_semantics():
+    """Satisfied clause: xl -> max(xl-1, 1); unsatisfied: xl + 20
+    (src/stoch.rs:47-51)."""
+    from odesat_tpu.cnf.formula import CNFFormula, Literal
+
+    # clause0 = (x0) satisfied by v0=True at start? start is all-false ->
+    # clause (x0) unsatisfied, clause (-x1) satisfied
+    formula = CNFFormula([(Literal(0),), (Literal(1, True),)], 2)
+    fa = compile_formula(formula, clause_pad=8, var_pad=8)
+    step = make_stoch_step(fa)
+    state = init_stoch_state(fa, 1, jax.random.PRNGKey(0))
+    out = step(state)
+    xl = np.asarray(out.xl)[0]
+    assert xl[0] == 21  # unsatisfied: 1 + 20
+    assert xl[1] == 1  # satisfied: max(1-1, 1)
+
+
+def test_stoch_flip_probability():
+    """A variable whose clauses are all unsatisfied flips with probability
+    ~1 (unsat == total); one with all satisfied never flips."""
+    from odesat_tpu.cnf.formula import CNFFormula, Literal
+
+    formula = CNFFormula([(Literal(0),), (Literal(1, True),)], 2)
+    fa = compile_formula(formula, clause_pad=8, var_pad=8)
+    step = make_stoch_step(fa)
+    flips0 = 0
+    flips1 = 0
+    trials = 200
+    state = init_stoch_state(fa, trials, jax.random.PRNGKey(1))
+    out = step(state)
+    v = np.asarray(out.v)
+    flips0 = int(v[:, 0].sum())  # x0 was False, flip -> True
+    flips1 = int(v[:, 1].sum())  # x1 False and its clause satisfied -> stays
+    assert flips0 == trials  # unsat/total == 1 -> always flips
+    assert flips1 == 0  # unsat/total == 0 -> never flips
+
+
+def test_stoch_done_freezes():
+    from odesat_tpu.cnf.formula import CNFFormula, Literal
+
+    # (-x0): satisfied by all-false start immediately
+    formula = CNFFormula([(Literal(0, True),)], 1)
+    fa = compile_formula(formula, clause_pad=8, var_pad=8)
+    step = make_stoch_step(fa)
+    state = init_stoch_state(fa, 3, jax.random.PRNGKey(2))
+    out = step(state)
+    assert bool(np.all(np.asarray(out.done)))
+    out2 = step(out)
+    np.testing.assert_array_equal(np.asarray(out2.v), np.asarray(out.v))
+
+
+def test_stoch_seed_reproducible(data_dir):
+    formula = parse_dimacs_file(os.path.join(data_dir, "small.cnf"))
+    _, normalized = normalize_cnf_variables(formula)
+    config = SolverConfig(ode=ODEConfig(steps=500), batch_size=4, seed=7, chunk_steps=64)
+    r1 = search(normalized, config)
+    r2 = search(normalized, config)
+    np.testing.assert_array_equal(r1.assignment, r2.assignment)
