@@ -30,29 +30,20 @@ RUST_SINGLE_CORE_TRAJ_STEPS_PER_SEC = 1.0e6  # derived cost model, see module do
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def bench_fixed_step(batch_size: int = 16384, chunk_steps: int = 500, repeats: int = 5):
+def bench_fixed_step(batch_size: int = 16384, chunk_steps: int = 2000, repeats: int = 3):
+    from odesat_tpu.utils.timing import measure_throughput
+
     formula = parse_dimacs_file(os.path.join(HERE, "tests", "data", "hard.cnf"))
     _, normalized = normalize_cnf_variables(formula)
     fa = compile_formula(normalized)
-    ode = ODEConfig(step_size=0.01, dv_strategy="gather")
+    ode = ODEConfig(step_size=0.01, dv_strategy="auto")  # fused kernel on TPU
     zeta = ode.resolve_zeta(fa.density)
 
     dev = formula_device(fa)
     runner = make_chunk_runner(fa, zeta, ode, chunk_steps)
     state = init_state(fa, batch_size, jax.random.PRNGKey(0), ode)
-
-    # warmup: compile + one chunk
-    state = runner(state, dev)
-    jax.block_until_ready(state.v)
-
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        state = runner(state, dev)
-    jax.block_until_ready(state.v)
-    elapsed = time.perf_counter() - t0
-
-    total_traj_steps = batch_size * chunk_steps * repeats
-    return total_traj_steps / elapsed
+    rate, _ = measure_throughput(runner, state, dev, chunk_steps, batch_size, iters=repeats)
+    return rate
 
 
 def main():

@@ -1,0 +1,144 @@
+"""Full benchmark suite over BASELINE.md's measurement configs.
+
+Reports trajectories*steps/sec/chip and median time-to-solution, writes
+benchmarks/results.json + a markdown table. Run on the real TPU:
+
+    python benchmarks/run_benchmarks.py [--quick]
+
+Configs (BASELINE.md):
+  1. easy.cnf, single trajectory, fixed-step (solve -n 1000 -s 0.01)
+  2. small.cnf, batch b=100 fixed step (vmapped restarts)
+  3. hard.cnf, adaptive step + tolerance
+  4. random 3-SAT n=1k m/n=4.3, ratio-7 preprocessing, 10k interlaced
+     trajectories per chip
+  5. uf250-class instance, trajectory batch (clause sharding needs >1 chip;
+     exercised in tests/test_sharding.py on the CPU mesh)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from odesat_tpu.cnf import compile_formula, normalize_cnf_variables, parse_dimacs_file
+from odesat_tpu.models.ode import formula_device, init_state, make_chunk_runner, simulate_batch
+from odesat_tpu.preprocess import preprocess_formula
+from odesat_tpu.utils.config import ODEConfig, SolverConfig
+from odesat_tpu.utils.generate import random_ksat
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+DATA = os.path.join(os.path.dirname(HERE), "tests", "data")
+
+
+def throughput(fa, ode, batch, chunk, repeats=3):
+    """Steady-state trajectories*steps/s of the chunk runner."""
+    from odesat_tpu.utils.timing import measure_throughput
+
+    zeta = ode.resolve_zeta(fa.density)
+    runner = make_chunk_runner(fa, zeta, ode, chunk)
+    dev = formula_device(fa)
+    state = init_state(fa, batch, jax.random.PRNGKey(0), ode)
+    rate, _ = measure_throughput(runner, state, dev, chunk, batch, iters=repeats)
+    return rate
+
+
+def time_to_solution(formula, config, seeds):
+    """Median wall time to a verified-done batch over seeds."""
+    times = []
+    solved = 0
+    for seed in seeds:
+        cfg = config
+        t0 = time.perf_counter()
+        result = simulate_batch(formula, cfg, key=jax.random.PRNGKey(seed))
+        times.append(time.perf_counter() - t0)
+        solved += int(result.any_solved)
+    return float(np.median(times)), solved, len(seeds)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true", help="smaller batches/steps")
+    args = parser.parse_args()
+    q = args.quick
+
+    results = {"device": str(jax.devices()[0]), "configs": {}}
+
+    # --- config 1: easy.cnf single trajectory fixed step -------------------
+    formula = parse_dimacs_file(os.path.join(DATA, "easy.cnf"))
+    _, normalized = normalize_cnf_variables(formula)
+    fa = compile_formula(normalized)
+    ode = ODEConfig(step_size=0.01)
+    results["configs"]["easy_single_fixed"] = {
+        "traj_steps_per_sec": throughput(fa, ode, batch=1, chunk=1000),
+        "note": "B=1 is the reference's solve mode; TPU is built for batches",
+    }
+
+    # --- config 2: small.cnf batch 100 fixed ------------------------------
+    formula = parse_dimacs_file(os.path.join(DATA, "small.cnf"))
+    _, normalized = normalize_cnf_variables(formula)
+    config = SolverConfig(ode=ODEConfig(step_size=0.01, steps=1000), batch_size=100, seed=0)
+    med, solved, n = time_to_solution(normalized, config, seeds=range(3 if q else 5))
+    results["configs"]["small_batch100_fixed"] = {
+        "median_tts_s": med,
+        "solved": f"{solved}/{n}",
+    }
+
+    # --- config 3: hard.cnf adaptive --------------------------------------
+    formula = parse_dimacs_file(os.path.join(DATA, "hard.cnf"))
+    _, normalized = normalize_cnf_variables(formula)
+    fa = compile_formula(normalized)
+    ode = ODEConfig()  # adaptive, tol 1e-3
+    results["configs"]["hard_adaptive"] = {
+        "traj_steps_per_sec": throughput(fa, ode, batch=2048 if q else 8192, chunk=200),
+        "note": "adaptive = 2 RHS evals + 3 updates per step",
+    }
+    ode_fixed = ODEConfig(step_size=0.01)
+    results["configs"]["hard_fixed"] = {
+        "traj_steps_per_sec": throughput(
+            fa, ode_fixed, batch=4096 if q else 16384, chunk=500
+        ),
+    }
+
+    # --- config 4: random 3-SAT n=1k, preprocessing, 10k interlaced -------
+    formula = random_ksat(1000, 4300, k=3, seed=7, planted=True)
+    t0 = time.perf_counter()
+    reduced, trace = preprocess_formula(formula, 7.0)
+    prep_s = time.perf_counter() - t0
+    _, normalized = normalize_cnf_variables(reduced)
+    fa = compile_formula(normalized)
+    ode = ODEConfig(step_size=0.01)
+    results["configs"]["random3sat_n1k_inter10k"] = {
+        "preprocess_s": prep_s,
+        "reduced_clauses": reduced.num_clauses,
+        "reduced_vars": reduced.varnum,
+        "traj_steps_per_sec": throughput(
+            fa, ode, batch=2048 if q else 10240, chunk=100 if q else 200
+        ),
+    }
+
+    # --- config 5: uf250-class --------------------------------------------
+    formula = random_ksat(250, 1065, k=3, seed=11, planted=True)
+    _, normalized = normalize_cnf_variables(formula)
+    fa = compile_formula(normalized)
+    results["configs"]["uf250_fixed"] = {
+        "traj_steps_per_sec": throughput(
+            fa, ODEConfig(step_size=0.01), batch=4096 if q else 16384, chunk=200
+        ),
+    }
+
+    out = os.path.join(HERE, "results.json")
+    with open(out, "w") as fh:
+        json.dump(results, fh, indent=2)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

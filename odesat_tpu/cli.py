@@ -47,7 +47,9 @@ def _add_common(p: argparse.ArgumentParser, batch_required: bool = False) -> Non
     p.add_argument("--chunk-steps", type=int, default=256, help="scan steps per dispatch")
     p.add_argument("--rigidity", choices=["paper", "reference"], default="paper")
     p.add_argument(
-        "--dv-strategy", choices=["gather", "segment_sum", "onehot", "pallas"], default="gather"
+        "--dv-strategy",
+        choices=["auto", "gather", "segment_sum", "onehot", "pallas", "fused"],
+        default="auto",
     )
     p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
     p.add_argument("--devices", type=int, default=1, help="devices on the trajectory mesh axis")

@@ -158,6 +158,10 @@ def make_step_fn(fa: FormulaArrays, zeta: float, ode: ODEConfig, clause_axis: Op
     xl_cap = XL_CAP_PER_CLAUSE * fa.n_clauses  # real clause count (src/system.rs:95)
     zeta = float(zeta)
     dv_strategy = ode.dv_strategy
+    if dv_strategy in ("fused", "auto"):
+        # 'fused' is a whole-chunk kernel (make_chunk_runner handles it);
+        # in single-step contexts fall back to the gather RHS
+        dv_strategy = "gather"
     if clause_axis is not None and dv_strategy in ("gather", "onehot", "pallas"):
         # variable-major occurrence tables index the *global* flattened
         # clause slots; under a clause shard each device only holds its
@@ -272,7 +276,31 @@ def make_step_fn(fa: FormulaArrays, zeta: float, ode: ODEConfig, clause_axis: Op
 def make_chunk_runner(fa: FormulaArrays, zeta: float, ode: ODEConfig, chunk_steps: int):
     """Jitted ``(state, dev) -> state`` advancing every trajectory by
     ``chunk_steps`` steps (solved trajectories stay frozen). The state
-    buffers are donated so XLA updates them in place."""
+    buffers are donated so XLA updates them in place.
+
+    dv_strategy='fused' dispatches the whole chunk to the multi-step
+    Pallas kernel (state resident in VMEM, ops/fused_pallas.py) instead
+    of a lax.scan of single steps; 'auto' picks fused on TPU when the
+    formula supports it (measured 12-14x over the scan path on v5e)."""
+    strategy = ode.dv_strategy
+    if strategy == "auto":
+        from odesat_tpu.ops.fused_pallas import fused_supported
+
+        if (
+            jax.default_backend() == "tpu"
+            and ode.dtype == "float32"
+            and fused_supported(fa)
+        ):
+            strategy = "fused"
+        else:
+            strategy = "gather"
+        ode = dataclasses.replace(ode, dv_strategy=strategy)
+
+    if strategy == "fused":
+        from odesat_tpu.ops.fused_pallas import make_fused_chunk
+
+        return jax.jit(make_fused_chunk(fa, zeta, ode, chunk_steps), donate_argnums=0)
+
     step = make_step_fn(fa, zeta, ode)
 
     def run_chunk(state: ODEState, dev: FormulaDevice) -> ODEState:

@@ -1,0 +1,257 @@
+"""Multi-step fused Pallas kernel: a whole integration chunk in VMEM.
+
+The XLA scan path (models/ode.py) round-trips the trajectory state and
+the (B, K, M) intermediates through HBM on every step — measured at
+~25% of v5e HBM bandwidth. This kernel instead grids over *trajectory
+blocks* and runs ``chunk_steps`` whole Euler steps in a fori_loop with
+everything resident in VMEM:
+
+* state block (Bb, Np)+(Bb, Mp)x2 is read from HBM once per chunk and
+  written back once — HBM traffic shrinks by ~chunk_steps x;
+* the v-gather and dv-accumulation ride the MXU against the one-hot
+  incidence G (K*Np, Mp) held in VMEM for the whole chunk;
+* per-trajectory done latches (and dt, in the adaptive variant) are
+  (Bb, 1) columns carried through the loop, preserving the freeze
+  semantics of the scan path exactly: fixed mode updates on the
+  detecting step then freezes (reference: src/system.rs:141-154);
+  adaptive mode never advances a satisfied state (src/system.rs:122)
+  and clips dt into [2^-7, 1e3] (src/system.rs:132-135).
+
+Frozen trajectories take a dt=0 update, which is the identity up to the
+clamps (state components are already inside their clamp ranges after the
+first real update).
+
+Applicability: formulas whose one-hot block fits VMEM (K*Np*Mp*4 bytes
+up to ~8MB — covers aim100/uf250-class instances; bigger CNFs use the
+XLA gather path) and no unit clauses (inf gradients, see ops/rhs.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from odesat_tpu.cnf.arrays import FormulaArrays
+from odesat_tpu.constants import (
+    ALPHA,
+    BETA,
+    DELTA,
+    DT_MAX,
+    DT_MIN,
+    EPSILON,
+    GAMMA,
+    XL_CAP_PER_CLAUSE,
+)
+from odesat_tpu.ops.rhs_pallas import _build_onehot_stacked, _pick_block
+
+_INF = float("inf")
+_VMEM_G_LIMIT = 8 * 1024 * 1024
+
+
+def fused_supported(fa: FormulaArrays) -> bool:
+    K, Mp = fa.lit_var.shape
+    return (
+        fa.min_width >= 2
+        and K * fa.n_vars_padded * Mp * 4 <= _VMEM_G_LIMIT
+    )
+
+
+def make_fused_chunk(
+    fa: FormulaArrays,
+    zeta: float,
+    ode,
+    chunk_steps: int,
+    traj_block: int = 128,
+    interpret: bool | None = None,
+):
+    """Build ``fn(state: ODEState, dev) -> ODEState`` advancing every
+    trajectory ``chunk_steps`` steps in one kernel launch. ``dev`` is
+    accepted for signature parity with the scan runner and ignored (the
+    incidence arrays are baked into the kernel as constants)."""
+    if not fused_supported(fa):
+        raise ValueError(
+            "fused pallas chunk unsupported for this formula "
+            "(unit clauses or one-hot block exceeds VMEM); use the scan path"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    K, Mp = fa.lit_var.shape
+    Np = fa.n_vars_padded
+    paper = ode.rigidity == "paper"
+    fixed = ode.step_size is not None
+    dt_fixed = float(ode.step_size) if fixed else 0.0
+    tol = float(ode.tolerance)
+    zeta_c = float(zeta)
+    xl_cap = XL_CAP_PER_CLAUSE * fa.n_clauses
+
+    G_host = jnp.asarray(_build_onehot_stacked(fa, np.float32))
+    sign_host = jnp.asarray(fa.sign.astype(np.float32))
+    mask_host = jnp.asarray(fa.lit_mask.astype(np.float32))
+    cmask_host = jnp.asarray(fa.clause_mask.astype(np.float32).reshape(1, Mp))
+
+    def kernel(v_ref, xs_ref, xl_ref, dt_ref, done_ref,
+               g_ref, sign_ref, mask_ref, cmask_ref,
+               v_out, xs_out, xl_out, dt_out, done_out):
+        cmask = cmask_ref[:]  # (1, Mp)
+        cmask_on = cmask > 0
+        signs = [sign_ref[k : k + 1, :] for k in range(K)]
+        masks = [mask_ref[k : k + 1, :] > 0 for k in range(K)]
+
+        def rhs(v, xs, xl):
+            vals = []
+            gathered = []
+            m1 = jnp.full(xs.shape, _INF, dtype=v.dtype)
+            m2 = jnp.full(xs.shape, _INF, dtype=v.dtype)
+            for k in range(K):
+                gk = jnp.dot(
+                    v, g_ref[k * Np : (k + 1) * Np, :], preferred_element_type=v.dtype
+                )
+                valk = jnp.where(masks[k], 1.0 - signs[k] * gk, _INF)
+                m2 = jnp.minimum(m2, jnp.maximum(m1, valk))
+                m1 = jnp.minimum(m1, valk)
+                vals.append(valk)
+                gathered.append(gk)
+
+            c = jnp.where(cmask_on, 0.5 * m1, 0.0)
+            dv = jnp.zeros((v.shape[0], Np), dtype=v.dtype)
+            for k in range(K):
+                is_min = vals[k] <= m1
+                g = jnp.where(
+                    masks[k], 0.5 * signs[k] * jnp.where(is_min, m2, m1), 0.0
+                )
+                gate = is_min if paper else vals[k] == (0.5 * m1)
+                r = jnp.where(gate & masks[k], 0.5 * (signs[k] - gathered[k]), 0.0)
+                contrib = jnp.where(
+                    masks[k], xl * xs * g + (1.0 + zeta_c * xl) * (1.0 - xs) * r, 0.0
+                )
+                dv = dv + jax.lax.dot_general(
+                    contrib,
+                    g_ref[k * Np : (k + 1) * Np, :],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=v.dtype,
+                )
+            dxs = BETA * (xs + EPSILON) * (c - GAMMA) * cmask
+            dxl = ALPHA * (c - DELTA) * cmask
+            allsat = jnp.all((c < GAMMA) | ~cmask_on, axis=1, keepdims=True)
+            return dv, dxs, dxl, allsat
+
+        def update(v, xs, xl, dv, dxs, dxl, dt_col):
+            xs2 = jnp.fmin(jnp.fmax(xs + dt_col * dxs, EPSILON), 1.0 - EPSILON)
+            xl2 = jnp.fmin(jnp.fmax(xl + dt_col * dxl, 1.0), xl_cap)
+            v2 = jnp.fmin(jnp.fmax(v + dt_col * dv, -1.0), 1.0)
+            return v2, xs2, xl2
+
+        if fixed:
+
+            def body(_, carry):
+                v, xs, xl, dt, done = carry
+                dv, dxs, dxl, allsat = rhs(v, xs, xl)
+                active = done < 0.5  # (Bb, 1)
+                dt_col = jnp.where(active, dt_fixed, 0.0)
+                v, xs, xl = update(v, xs, xl, dv, dxs, dxl, dt_col)
+                done = jnp.maximum(done, allsat.astype(done.dtype))
+                return v, xs, xl, dt, done
+
+        else:
+
+            def body(_, carry):
+                v, xs, xl, dt, done = carry
+                dv, dxs, dxl, allsat = rhs(v, xs, xl)
+                advance = (done < 0.5) & ~allsat  # src/system.rs:122
+                dt_col = jnp.where(advance, dt, 0.0)
+
+                fv, fxs, fxl = update(v, xs, xl, dv, dxs, dxl, dt_col)
+                hv, hxs, hxl = update(v, xs, xl, dv, dxs, dxl, 0.5 * dt_col)
+                dv2, dxs2, dxl2, _ = rhs(hv, hxs, hxl)
+                tv, txs, txl = update(hv, hxs, hxl, dv2, dxs2, dxl2, 0.5 * dt_col)
+
+                err = jnp.maximum(
+                    jnp.max(jnp.abs(fv - tv), axis=1, keepdims=True),
+                    jnp.maximum(
+                        jnp.max(jnp.abs(fxs - txs), axis=1, keepdims=True),
+                        jnp.max(jnp.abs(fxl - txl), axis=1, keepdims=True),
+                    ),
+                )
+                new_dt = jnp.clip(
+                    dt * jnp.sqrt(tol / jnp.maximum(err, 1e-30)), DT_MIN, DT_MAX
+                )
+                v = jnp.where(advance, tv, v)
+                xs = jnp.where(advance, txs, xs)
+                xl = jnp.where(advance, txl, xl)
+                dt = jnp.where(advance, new_dt, dt)
+                done = jnp.maximum(done, allsat.astype(done.dtype))
+                return v, xs, xl, dt, done
+
+        carry = (v_ref[:], xs_ref[:], xl_ref[:], dt_ref[:], done_ref[:])
+        v, xs, xl, dt, done = jax.lax.fori_loop(0, chunk_steps, body, carry)
+        v_out[:] = v
+        xs_out[:] = xs
+        xl_out[:] = xl
+        dt_out[:] = dt
+        done_out[:] = done
+
+    def fn(state, dev=None):  # dev ignored; signature parity with scan runner
+        B = state.v.shape[0]
+        Bb = _pick_block(B, traj_block)
+        grid = (B // Bb,)
+        dt_col = state.dt.astype(jnp.float32).reshape(B, 1)
+        done_col = state.done.astype(jnp.float32).reshape(B, 1)
+
+        row = lambda i: (i, 0)  # noqa: E731
+        fixed_blk = lambda shape: pl.BlockSpec(shape, row, memory_space=pltpu.VMEM)  # noqa: E731
+        const_blk = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+
+        v, xs, xl, dt_o, done_o = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                fixed_blk((Bb, Np)),
+                fixed_blk((Bb, Mp)),
+                fixed_blk((Bb, Mp)),
+                fixed_blk((Bb, 1)),
+                fixed_blk((Bb, 1)),
+                const_blk((K * Np, Mp)),
+                const_blk((K, Mp)),
+                const_blk((K, Mp)),
+                const_blk((1, Mp)),
+            ],
+            out_specs=[
+                fixed_blk((Bb, Np)),
+                fixed_blk((Bb, Mp)),
+                fixed_blk((Bb, Mp)),
+                fixed_blk((Bb, 1)),
+                fixed_blk((Bb, 1)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, Np), jnp.float32),
+                jax.ShapeDtypeStruct((B, Mp), jnp.float32),
+                jax.ShapeDtypeStruct((B, Mp), jnp.float32),
+                jax.ShapeDtypeStruct((B, 1), jnp.float32),
+                jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            ],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=4 * K * B * Np * Mp * chunk_steps * (1 if fixed else 2),
+                bytes_accessed=(B * (Np + 2 * Mp) * 4) * 2,
+                transcendentals=0,
+            ),
+        )(state.v, state.xs, state.xl, dt_col, done_col,
+          G_host, sign_host, mask_host, cmask_host)
+
+        from odesat_tpu.models.ode import ODEState
+
+        return ODEState(
+            v=v,
+            xs=xs,
+            xl=xl,
+            dt=dt_o.reshape(B).astype(state.dt.dtype),
+            done=done_o.reshape(B) > 0.5,
+        )
+
+    return fn

@@ -34,7 +34,15 @@ class ODEConfig:
     zeta: Optional[float] = None  # learning rate; None => density table
     rigidity: str = "paper"  # "paper" (argmin gate) | "reference" (exact-zero gate), SURVEY.md §2a
     dtype: str = "float32"  # "float32" | "float64" (reference is f64; TPU wants f32)
-    dv_strategy: str = "gather"  # "gather" | "segment_sum" | "onehot" | "pallas"
+    # per-variable derivative accumulation:
+    #   "auto"        - fused on TPU when the formula supports it, else gather
+    #   "gather"      - variable-major gather+sum (any formula)
+    #   "segment_sum" - scatter-add baseline
+    #   "onehot"      - MXU matmul against the one-hot incidence
+    #   "pallas"      - fused single-step Pallas kernel (onehot-based)
+    #   "fused"       - multi-step Pallas chunk kernel, state in VMEM
+    #                   (12-14x the scan path on v5e for small/medium CNFs)
+    dv_strategy: str = "auto"
 
     def resolve_zeta(self, density: float) -> float:
         return self.zeta if self.zeta is not None else zeta_for_density(density)
