@@ -1,0 +1,247 @@
+"""ctypes bindings for the native host runtime (odesat_native.cc).
+
+Builds the shared library on first use with g++ (no pip deps); every
+entry point has a pure-Python fallback in odesat_tpu.cnf /
+odesat_tpu.preprocess, so the package works without a compiler. Parity
+between the two implementations is enforced by tests/test_native.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from odesat_tpu.cnf.formula import CNFFormula, Literal
+from odesat_tpu.preprocess.trace import (
+    BlockedClauseElimination,
+    SimplificationTrace,
+    VariableElimination,
+)
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "odesat_native.cc")
+_SO = os.path.join(_HERE, "libodesat_native.so")
+_lock = threading.Lock()
+_lib = None
+_lib_error = None
+
+
+def _build() -> None:
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        "-o",
+        _SO,
+        _SRC,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _lib, _lib_error
+    with _lock:
+        if _lib is not None or _lib_error is not None:
+            return _lib
+        try:
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+                _build()
+            lib = ctypes.CDLL(_SO)
+        except Exception as e:  # noqa: BLE001 — any failure => Python fallback
+            _lib_error = e
+            return None
+
+        lib.odesat_free.argtypes = [ctypes.c_void_p]
+        lib.odesat_parse_dimacs.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.odesat_preprocess.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_float,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.odesat_baseline_steps_per_sec.restype = ctypes.c_double
+        lib.odesat_baseline_steps_per_sec.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.c_uint64,
+        ]
+        _lib = lib
+        return _lib
+
+
+def is_available() -> bool:
+    return _load() is not None
+
+
+def _encode(formula: CNFFormula):
+    """Formula -> (flat encoded literals, offsets). lit = (var<<1)|neg."""
+    lits = []
+    offsets = [0]
+    for clause in formula.clauses:
+        for lit in clause:
+            lits.append((lit.variable << 1) | int(lit.is_negated))
+        offsets.append(len(lits))
+    return (
+        np.asarray(lits, dtype=np.int32),
+        np.asarray(offsets, dtype=np.int64),
+    )
+
+
+def _decode(lits: np.ndarray, offsets: np.ndarray, varnum: int) -> CNFFormula:
+    clauses = []
+    for m in range(len(offsets) - 1):
+        clauses.append(
+            tuple(
+                Literal(int(l) >> 1, bool(int(l) & 1))
+                for l in lits[offsets[m] : offsets[m + 1]]
+            )
+        )
+    return CNFFormula(clauses, varnum)
+
+
+def _take_i32(lib, ptr, n) -> np.ndarray:
+    arr = np.ctypeslib.as_array(ptr, shape=(n,)).copy() if n else np.empty(0, np.int32)
+    lib.odesat_free(ptr)
+    return arr
+
+
+def parse_dimacs_native(text: str) -> CNFFormula:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_lib_error}")
+    data = text.encode("utf-8")
+    lits_p = ctypes.POINTER(ctypes.c_int32)()
+    offs_p = ctypes.POINTER(ctypes.c_int64)()
+    n_clauses = ctypes.c_int64()
+    varnum = ctypes.c_int64()
+    rc = lib.odesat_parse_dimacs(
+        data, len(data), ctypes.byref(lits_p), ctypes.byref(offs_p),
+        ctypes.byref(n_clauses), ctypes.byref(varnum),
+    )
+    if rc != 0:
+        raise ValueError(f"native DIMACS parse failed (rc={rc})")
+    m = n_clauses.value
+    offsets = np.ctypeslib.as_array(offs_p, shape=(m + 1,)).copy()
+    lib.odesat_free(offs_p)
+    lits = _take_i32(lib, lits_p, int(offsets[-1]))
+    formula = _decode(lits, offsets, varnum.value)
+    if varnum.value < 0:  # no header: count used variables (reference fallback)
+        formula.varnum = len(formula.variable_set())
+    return formula
+
+
+def _decode_trace(blob: bytes) -> SimplificationTrace:
+    trace = SimplificationTrace()
+    pos = 0
+
+    def u8():
+        nonlocal pos
+        v = blob[pos]
+        pos += 1
+        return v
+
+    def u32():
+        nonlocal pos
+        v = int.from_bytes(blob[pos : pos + 4], "little")
+        pos += 4
+        return v
+
+    def clause():
+        n = u32()
+        return frozenset(Literal(u32_val >> 1, bool(u32_val & 1)) for u32_val in (u32() for _ in range(n)))
+
+    while pos < len(blob):
+        kind = u8()
+        var = u32()
+        n_clauses = u32()
+        clauses = frozenset(clause() for _ in range(n_clauses))
+        if kind == 0:
+            trace.add(VariableElimination(var, clauses))
+        else:
+            (only,) = clauses
+            trace.add(BlockedClauseElimination(var, only))
+    return trace
+
+
+def preprocess_native(formula: CNFFormula, target_ratio: float = 7.0):
+    """Native preprocessing; same deterministic semantics as
+    odesat_tpu.preprocess.preprocess_formula (parity-tested)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_lib_error}")
+    lits, offsets = _encode(formula)
+    out_lits = ctypes.POINTER(ctypes.c_int32)()
+    out_offs = ctypes.POINTER(ctypes.c_int64)()
+    out_m = ctypes.c_int64()
+    out_varnum = ctypes.c_int64()
+    trace_p = ctypes.POINTER(ctypes.c_uint8)()
+    trace_len = ctypes.c_int64()
+    rc = lib.odesat_preprocess(
+        lits.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        formula.num_clauses,
+        formula.varnum,
+        float(target_ratio),
+        ctypes.byref(out_lits),
+        ctypes.byref(out_offs),
+        ctypes.byref(out_m),
+        ctypes.byref(out_varnum),
+        ctypes.byref(trace_p),
+        ctypes.byref(trace_len),
+    )
+    if rc != 0:
+        raise ValueError(f"native preprocess failed (rc={rc})")
+    m = out_m.value
+    offs = np.ctypeslib.as_array(out_offs, shape=(m + 1,)).copy()
+    lib.odesat_free(out_offs)
+    flat = _take_i32(lib, out_lits, int(offs[-1]))
+    blob = bytes(np.ctypeslib.as_array(trace_p, shape=(trace_len.value,)).copy()) if trace_len.value else b""
+    lib.odesat_free(trace_p)
+    return _decode(flat, offs, out_varnum.value), _decode_trace(blob)
+
+
+def baseline_steps_per_sec(
+    formula: CNFFormula, steps: int = 20000, dt: float = 0.01, zeta: float = 0.001, seed: int = 1
+) -> float:
+    """Single-core CPU ODE throughput (steps/s) on a *normalized* formula —
+    the measured stand-in for the unrunnable Rust reference."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_lib_error}")
+    lits, offsets = _encode(formula)
+    return lib.odesat_baseline_steps_per_sec(
+        lits.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        formula.num_clauses,
+        formula.varnum,
+        steps,
+        dt,
+        zeta,
+        seed,
+    )

@@ -1,0 +1,525 @@
+// odesat_tpu native host runtime (C ABI, loaded via ctypes).
+//
+// The TPU owns the numeric hot loop (JAX/Pallas); this library owns the
+// host-side hot paths around it:
+//
+//  * DIMACS parsing (odesat_parse_dimacs) — the reference parses with
+//    per-line string splitting (reference: src/cnf.rs:138-172); this is a
+//    single-pass byte scanner for multi-hundred-MB CNF files.
+//  * CNF preprocessing (odesat_preprocess) — blocked-clause elimination +
+//    greedy bounded variable elimination + subsumption with a witness
+//    trace (reference semantics: src/cnf.rs:418-840). This is the
+//    reference's O(V*R)-per-round host bottleneck (SURVEY.md §3 hot spot
+//    #3); the rebuild keeps bit-identical *deterministic* semantics with
+//    the Python implementation in odesat_tpu/preprocess (sorted candidate
+//    order, strict-less tie-breaking) — parity is enforced by tests.
+//  * A single-threaded CPU ODE solver (odesat_baseline_*) implementing
+//    the same dynamics (src/system.rs:25-154 semantics) used ONLY to
+//    anchor benchmark baselines, since no Rust toolchain exists in this
+//    environment to run the reference itself.
+//
+// Literal encoding across the ABI: lit = (variable << 1) | is_negated,
+// so ordering by the encoded value equals ordering by (variable, neg)
+// — the same order as the Rust BTreeSet<Literal> and the Python tuple
+// sort, which keeps clause ordering deterministic and identical across
+// all three implementations.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <ctime>
+#include <map>
+#include <set>
+#include <vector>
+
+extern "C" {
+
+typedef int32_t lit_t;
+
+// ---------------------------------------------------------------------------
+// memory helpers
+// ---------------------------------------------------------------------------
+
+void odesat_free(void* p) { std::free(p); }
+
+static void* dup_bytes(const void* src, size_t n) {
+  void* out = std::malloc(n ? n : 1);
+  if (out && n) std::memcpy(out, src, n);
+  return out;
+}
+
+// ---------------------------------------------------------------------------
+// DIMACS parser
+// ---------------------------------------------------------------------------
+
+// Parses DIMACS text. Returns 0 on success. Outputs: flat literal array
+// (encoded), clause offsets (n_clauses+1), declared varnum (-1 if no
+// header; caller falls back to counting used variables). Blank /
+// content-free lines are skipped; '%' ends the file (SATLIB).
+int odesat_parse_dimacs(const char* text, int64_t len, lit_t** out_lits,
+                        int64_t** out_offsets, int64_t* out_n_clauses,
+                        int64_t* out_varnum) {
+  std::vector<lit_t> lits;
+  std::vector<int64_t> offsets;
+  offsets.push_back(0);
+  int64_t varnum = -1;
+
+  const char* p = text;
+  const char* end = text + len;
+  while (p < end) {
+    // find line end
+    const char* eol = p;
+    while (eol < end && *eol != '\n') ++eol;
+    // skip leading whitespace
+    const char* q = p;
+    while (q < eol && (*q == ' ' || *q == '\t' || *q == '\r')) ++q;
+    if (q == eol) { p = eol + 1; continue; }           // blank
+    if (*q == 'c') { p = eol + 1; continue; }          // comment
+    if (*q == '%') break;                              // SATLIB end marker
+    if (*q == 'p') {
+      // p cnf nbvar nbclauses — nbclauses ignored
+      q += 1;
+      while (q < eol && *q == ' ') ++q;
+      if (eol - q < 3 || std::strncmp(q, "cnf", 3) != 0) return 1;
+      q += 3;
+      varnum = 0;
+      while (q < eol && (*q == ' ' || *q == '\t')) ++q;
+      bool any = false;
+      while (q < eol && *q >= '0' && *q <= '9') {
+        varnum = varnum * 10 + (*q - '0');
+        ++q; any = true;
+      }
+      if (!any) return 1;
+      p = eol + 1;
+      continue;
+    }
+    // clause line: integers until 0 sentinel
+    size_t start = lits.size();
+    while (q < eol) {
+      while (q < eol && (*q == ' ' || *q == '\t' || *q == '\r')) ++q;
+      if (q == eol) break;
+      bool neg = false;
+      if (*q == '-') { neg = true; ++q; }
+      int64_t v = 0;
+      bool any = false;
+      while (q < eol && *q >= '0' && *q <= '9') {
+        v = v * 10 + (*q - '0');
+        ++q; any = true;
+      }
+      if (!any) return 2;  // junk token
+      if (v == 0) break;   // sentinel: rest of line ignored
+      lits.push_back((lit_t)((v << 1) | (neg ? 1 : 0)));
+    }
+    if (lits.size() > start) offsets.push_back((int64_t)lits.size());
+    p = eol + 1;
+  }
+
+  *out_lits = (lit_t*)dup_bytes(lits.data(), lits.size() * sizeof(lit_t));
+  *out_offsets =
+      (int64_t*)dup_bytes(offsets.data(), offsets.size() * sizeof(int64_t));
+  *out_n_clauses = (int64_t)offsets.size() - 1;
+  *out_varnum = varnum;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// preprocessing (BCE + greedy VE + subsumption) with witness trace
+// ---------------------------------------------------------------------------
+
+namespace {
+
+using Clause = std::vector<lit_t>;  // sorted encoded literals, deduped
+
+struct ClauseLess {
+  bool operator()(const Clause& a, const Clause& b) const {
+    return std::lexicographical_compare(a.begin(), a.end(), b.begin(), b.end());
+  }
+};
+using ClauseSet = std::set<Clause, ClauseLess>;
+
+inline int32_t lit_var(lit_t l) { return l >> 1; }
+inline bool lit_neg(lit_t l) { return l & 1; }
+inline lit_t lit_compl(lit_t l) { return l ^ 1; }
+
+struct Occ {
+  ClauseSet pos, neg;
+};
+
+struct Pre {
+  ClauseSet clauses;
+  int64_t varnum;
+  std::map<int32_t, Occ> index;
+
+  // trace: serialized as it is produced
+  std::vector<uint8_t> trace;
+
+  void trace_u8(uint8_t x) { trace.push_back(x); }
+  void trace_u32(uint32_t x) {
+    for (int i = 0; i < 4; i++) trace.push_back((x >> (8 * i)) & 0xff);
+  }
+  void trace_clause(const Clause& c) {
+    trace_u32((uint32_t)c.size());
+    for (lit_t l : c) trace_u32((uint32_t)l);
+  }
+};
+
+bool is_tautology(const Clause& c) {
+  // literals sorted by (var, neg): complementary pair is adjacent
+  for (size_t i = 0; i + 1 < c.size(); ++i)
+    if (c[i + 1] == (c[i] ^ 1) && lit_var(c[i]) == lit_var(c[i + 1])) return true;
+  return false;
+}
+
+void sort_dedup(Clause& c) {
+  std::sort(c.begin(), c.end());
+  c.erase(std::unique(c.begin(), c.end()), c.end());
+}
+
+// Non-tautological, non-empty resolvents of `clause` on `var` against the
+// opposing occurrence list (empty resolvents silently dropped — reference
+// quirk, src/cnf.rs:474-476).
+std::vector<Clause> calculate_resolvents(const Pre& st, const Clause& clause,
+                                         int32_t var) {
+  auto it = st.index.find(var);
+  std::vector<Clause> out;
+  if (it == st.index.end()) return out;
+  bool clause_has_pos =
+      std::binary_search(clause.begin(), clause.end(), (lit_t)(var << 1));
+  const ClauseSet& opposing = clause_has_pos ? it->second.neg : it->second.pos;
+
+  Clause own;
+  own.reserve(clause.size());
+  for (lit_t l : clause)
+    if (lit_var(l) != var) own.push_back(l);
+
+  for (const Clause& other : opposing) {
+    Clause combined = own;
+    bool taut = false;
+    for (lit_t l : other) {
+      if (lit_var(l) == var) continue;
+      if (std::binary_search(own.begin(), own.end(), lit_compl(l))) {
+        taut = true;
+        break;
+      }
+      combined.push_back(l);
+    }
+    if (taut) continue;
+    sort_dedup(combined);
+    if (!combined.empty()) out.push_back(std::move(combined));
+  }
+  return out;
+}
+
+ClauseSet calculate_var_resolvents(const Pre& st, int32_t var) {
+  ClauseSet all;
+  auto it = st.index.find(var);
+  if (it == st.index.end()) return all;
+  for (const Clause& c : it->second.pos) {
+    auto rs = calculate_resolvents(st, c, var);
+    for (auto& r : rs) all.insert(std::move(r));
+  }
+  return all;
+}
+
+// blocking variable if some literal has no surviving resolvents, scanned
+// in sorted literal order (matches Python's sorted(clause))
+int32_t is_blocked(const Pre& st, const Clause& clause) {
+  for (lit_t l : clause) {
+    auto rs = calculate_resolvents(st, clause, lit_var(l));
+    if (rs.empty()) return lit_var(l);
+  }
+  return -1;
+}
+
+void subsume_clauses(ClauseSet& clauses) {
+  std::vector<Clause> to_remove;
+  for (const Clause& c : clauses) {
+    for (const Clause& other : clauses) {
+      if (&c == &other || other.size() >= c.size()) continue;
+      if (std::includes(c.begin(), c.end(), other.begin(), other.end())) {
+        to_remove.push_back(c);
+        break;
+      }
+    }
+  }
+  for (const Clause& c : to_remove) clauses.erase(c);
+}
+
+void index_remove(Pre& st, const Clause& c) {
+  for (lit_t l : c) {
+    auto it = st.index.find(lit_var(l));
+    if (it == st.index.end()) continue;
+    (lit_neg(l) ? it->second.neg : it->second.pos).erase(c);
+  }
+}
+
+void index_add(Pre& st, const Clause& c) {
+  for (lit_t l : c)
+    (lit_neg(l) ? st.index[lit_var(l)].neg : st.index[lit_var(l)].pos).insert(c);
+}
+
+// returns changed vars; writes a BCE trace step
+bool eliminate_if_blocked(Pre& st, const Clause& clause,
+                          std::set<int32_t>* changed) {
+  int32_t var = is_blocked(st, clause);
+  if (var < 0) return false;
+  for (lit_t l : clause)
+    if (changed) changed->insert(lit_var(l));
+  index_remove(st, clause);
+  st.clauses.erase(clause);
+  st.trace_u8(1);  // BCE
+  st.trace_u32((uint32_t)var);
+  st.trace_u32(1);
+  st.trace_clause(clause);
+  return true;
+}
+
+// VE by clause distribution; writes a VE trace step with the
+// positive-occurrence clauses minus the eliminated literal
+void eliminate_variable(Pre& st, int32_t var, const ClauseSet& resolvents,
+                        std::set<int32_t>* changed) {
+  auto it = st.index.find(var);
+  if (it == st.index.end()) return;
+  Occ occ = std::move(it->second);
+  st.index.erase(it);
+
+  std::vector<const Clause*> originals;
+  for (const Clause& c : occ.pos) originals.push_back(&c);
+  for (const Clause& c : occ.neg) originals.push_back(&c);
+
+  for (const Clause* c : originals) {
+    for (lit_t l : *c) {
+      changed->insert(lit_var(l));
+      auto jt = st.index.find(lit_var(l));
+      if (jt == st.index.end()) continue;
+      jt->second.pos.erase(*c);
+      jt->second.neg.erase(*c);
+    }
+    st.clauses.erase(*c);
+  }
+
+  for (const Clause& r : resolvents) {
+    st.clauses.insert(r);
+    index_add(st, r);
+  }
+  st.varnum -= 1;
+
+  // trace: VE(var, modified positive clauses)
+  st.trace_u8(0);
+  st.trace_u32((uint32_t)var);
+  // build modified pos clauses (dedup via set for deterministic order)
+  ClauseSet modified;
+  lit_t pos_lit = (lit_t)(var << 1);
+  for (const Clause& c : occ.pos) {
+    Clause m;
+    m.reserve(c.size());
+    for (lit_t l : c)
+      if (l != pos_lit) m.push_back(l);
+    modified.insert(std::move(m));
+  }
+  st.trace_u32((uint32_t)modified.size());
+  for (const Clause& m : modified) st.trace_clause(m);
+}
+
+// greedy pick: variable minimizing the post-elimination ratio; accepted
+// only while ratio <= target; candidates scanned in sorted order with
+// strict-less tie-breaking (deterministic; matches the Python pipeline)
+bool min_ratio_resolvant(const Pre& st, const std::set<int32_t>& candidates,
+                         float target, int32_t* out_var,
+                         ClauseSet* out_resolvents) {
+  double smallest = 1e300;
+  int32_t best = -1;
+  ClauseSet best_res;
+  for (int32_t var : candidates) {
+    auto it = st.index.find(var);
+    if (it == st.index.end()) continue;
+    ClauseSet res = calculate_var_resolvents(st, var);
+    // tautologies already skipped by construction; subsume within
+    subsume_clauses(res);
+    double clause_count = (double)st.clauses.size() - it->second.pos.size() -
+                          it->second.neg.size() + res.size();
+    double var_count = (double)st.varnum - 1;
+    double ratio = var_count > 0 ? clause_count / var_count : 1e300;
+    if (ratio < smallest) {
+      smallest = ratio;
+      best = var;
+      best_res = std::move(res);
+    }
+  }
+  if (best < 0 || smallest > (double)target) return false;
+  *out_var = best;
+  *out_resolvents = std::move(best_res);
+  return true;
+}
+
+}  // namespace
+
+// Preprocess: inputs are encoded literals + offsets; outputs reduced
+// formula (caller frees) + trace blob. Returns 0 on success.
+int odesat_preprocess(const lit_t* lits, const int64_t* offsets,
+                      int64_t n_clauses, int64_t varnum, float target_ratio,
+                      lit_t** out_lits, int64_t** out_offsets,
+                      int64_t* out_n_clauses, int64_t* out_varnum,
+                      uint8_t** out_trace, int64_t* out_trace_len) {
+  Pre st;
+  st.varnum = varnum;
+  for (int64_t m = 0; m < n_clauses; ++m) {
+    Clause c(lits + offsets[m], lits + offsets[m + 1]);
+    sort_dedup(c);
+    st.clauses.insert(std::move(c));
+  }
+  for (const Clause& c : st.clauses) index_add(st, c);
+
+  // initial BCE sweep: snapshot blocked clauses, then eliminate
+  std::vector<Clause> blocked;
+  for (const Clause& c : st.clauses)
+    if (is_blocked(st, c) >= 0) blocked.push_back(c);
+  for (const Clause& c : blocked) eliminate_if_blocked(st, c, nullptr);
+
+  // greedy VE loop
+  std::set<int32_t> candidates;
+  for (auto& kv : st.index) candidates.insert(kv.first);
+  for (;;) {
+    int32_t var;
+    ClauseSet resolvents;
+    if (!min_ratio_resolvant(st, candidates, target_ratio, &var, &resolvents))
+      break;
+    candidates.clear();
+    eliminate_variable(st, var, resolvents, &candidates);
+    for (const Clause& r : resolvents) {
+      if (!st.clauses.count(r)) continue;
+      std::set<int32_t> changed2;
+      if (eliminate_if_blocked(st, r, &changed2))
+        candidates.insert(changed2.begin(), changed2.end());
+    }
+  }
+  subsume_clauses(st.clauses);
+
+  // serialize reduced formula (ClauseSet iteration = deterministic order)
+  std::vector<lit_t> flat;
+  std::vector<int64_t> offs;
+  offs.push_back(0);
+  for (const Clause& c : st.clauses) {
+    flat.insert(flat.end(), c.begin(), c.end());
+    offs.push_back((int64_t)flat.size());
+  }
+  *out_lits = (lit_t*)dup_bytes(flat.data(), flat.size() * sizeof(lit_t));
+  *out_offsets = (int64_t*)dup_bytes(offs.data(), offs.size() * sizeof(int64_t));
+  *out_n_clauses = (int64_t)offs.size() - 1;
+  *out_varnum = st.varnum;
+  *out_trace = (uint8_t*)dup_bytes(st.trace.data(), st.trace.size());
+  *out_trace_len = (int64_t)st.trace.size();
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// single-core CPU baseline solver (benchmark anchor)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Baseline {
+  // flattened clause structure over normalized variables [0, n)
+  std::vector<int32_t> var;    // per literal
+  std::vector<double> q;       // +1 / -1 per literal
+  std::vector<int64_t> offs;   // clause offsets
+  int64_t n_vars, n_clauses;
+
+  std::vector<double> v, xs, xl, dv, dxs, dxl;
+
+  // one derivative evaluation; returns allsat
+  bool derivatives(double zeta) {
+    std::fill(dv.begin(), dv.end(), 0.0);
+    bool allsat = true;
+    for (int64_t m = 0; m < n_clauses; ++m) {
+      double mn = 1e300, mn2 = 1e300;
+      for (int64_t i = offs[m]; i < offs[m + 1]; ++i) {
+        double value = 1.0 - q[i] * v[var[i]];
+        if (value < mn) { mn2 = mn; mn = value; }
+        else if (value < mn2) { mn2 = value; }
+      }
+      double c = 0.5 * mn;
+      for (int64_t i = offs[m]; i < offs[m + 1]; ++i) {
+        double value = 1.0 - q[i] * v[var[i]];
+        double g = 0.5 * q[i] * (value != mn ? mn : mn2);
+        double r = (c == value) ? 0.5 * (q[i] - v[var[i]]) : 0.0;
+        dv[var[i]] += xl[m] * xs[m] * g + (1.0 + zeta * xl[m]) * (1.0 - xs[m]) * r;
+      }
+      dxs[m] = 20.0 * (xs[m] + 1e-3) * (c - 0.25);
+      dxl[m] = 5.0 * (c - 0.05);
+      allsat = allsat && (c < 0.25);
+    }
+    return allsat;
+  }
+
+  void update(double dt) {
+    double cap = 1e4 * (double)n_clauses;
+    for (int64_t m = 0; m < n_clauses; ++m) {
+      xs[m] = std::fmin(std::fmax(xs[m] + dt * dxs[m], 1e-3), 1.0 - 1e-3);
+      xl[m] = std::fmin(std::fmax(xl[m] + dt * dxl[m], 1.0), cap);
+    }
+    for (int64_t i = 0; i < n_vars; ++i)
+      v[i] = std::fmin(std::fmax(v[i] + dt * dv[i], -1.0), 1.0);
+  }
+};
+
+uint64_t xorshift(uint64_t* s) {
+  uint64_t x = *s;
+  x ^= x << 13; x ^= x >> 7; x ^= x << 17;
+  return *s = x;
+}
+
+}  // namespace
+
+// Runs `steps` fixed-dt steps of the single-core ODE on a normalized
+// formula; returns steps/second (wall). Used to anchor vs_baseline.
+double odesat_baseline_steps_per_sec(const lit_t* lits, const int64_t* offsets,
+                                     int64_t n_clauses, int64_t varnum,
+                                     int64_t steps, double dt, double zeta,
+                                     uint64_t seed) {
+  Baseline b;
+  b.n_vars = varnum;
+  b.n_clauses = n_clauses;
+  b.offs.assign(offsets, offsets + n_clauses + 1);
+  int64_t n_lits = offsets[n_clauses];
+  b.var.resize(n_lits);
+  b.q.resize(n_lits);
+  for (int64_t i = 0; i < n_lits; ++i) {
+    b.var[i] = lit_var(lits[i]);
+    b.q[i] = lit_neg(lits[i]) ? -1.0 : 1.0;
+  }
+  b.v.resize(varnum);
+  uint64_t s = seed ? seed : 0x9e3779b97f4a7c15ULL;
+  for (int64_t i = 0; i < varnum; ++i)
+    b.v[i] = 2.0 * ((double)(xorshift(&s) >> 11) / 9007199254740992.0) - 1.0;
+  b.xs.assign(n_clauses, 0.0);
+  for (int64_t m = 0; m < n_clauses; ++m) {
+    bool any_neg = false;
+    for (int64_t i = offsets[m]; i < offsets[m + 1]; ++i)
+      any_neg = any_neg || lit_neg(lits[i]);
+    b.xs[m] = any_neg ? 1.0 : -1.0;
+  }
+  b.xl.assign(n_clauses, 1.0);
+  b.dv.resize(varnum);
+  b.dxs.resize(n_clauses);
+  b.dxl.resize(n_clauses);
+
+  struct timespec t0, t1;
+  clock_gettime(CLOCK_MONOTONIC, &t0);
+  int64_t done = 0;
+  for (; done < steps; ++done) {
+    b.derivatives(zeta);  // no early exit: steady-state throughput
+    b.update(dt);
+  }
+  clock_gettime(CLOCK_MONOTONIC, &t1);
+  double elapsed =
+      (double)(t1.tv_sec - t0.tv_sec) + 1e-9 * (double)(t1.tv_nsec - t0.tv_nsec);
+  // fold a data dependence into the result so the loop cannot be elided
+  volatile double sink = b.v[0];
+  (void)sink;
+  return (double)done / elapsed;
+}
+
+}  // extern "C"

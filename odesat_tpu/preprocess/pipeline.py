@@ -161,9 +161,20 @@ def preprocessing_loop(
     return trace
 
 
-def preprocess_formula(formula: CNFFormula, target_ratio: float = 7.0):
+def preprocess_formula(formula: CNFFormula, target_ratio: float = 7.0, native=None):
     """End-to-end preprocessing: CNFFormula -> (reduced CNFFormula, trace)
-    (reference: src/cnf.rs:833-840 + conversions in src/main.rs:163-165)."""
+    (reference: src/cnf.rs:833-840 + conversions in src/main.rs:163-165).
+
+    ``native``: True forces the C++ implementation, False the Python one,
+    None (default) picks native when the library is available (~10x
+    faster, parity-tested in tests/test_native.py)."""
+    if native is not False:
+        from odesat_tpu import native as native_mod
+
+        if native_mod.is_available():
+            return native_mod.preprocess_native(formula, target_ratio)
+        if native:
+            raise RuntimeError("native preprocessing requested but library unavailable")
     formula_set = to_formula_set(formula)
     index = build_occurrence_index(formula_set.clauses)
     trace = preprocessing_loop(formula_set, index, target_ratio)

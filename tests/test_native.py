@@ -1,0 +1,84 @@
+"""Native (C++) host runtime vs the pure-Python implementations:
+parser round-trip, preprocessing parity (reduced formula + trace
+reconstruction), and the baseline solver sanity."""
+
+import os
+
+import numpy as np
+import pytest
+
+from odesat_tpu import native
+from odesat_tpu.cnf import evaluate_cnf, normalize_cnf_variables, parse_dimacs, parse_dimacs_file
+from odesat_tpu.preprocess import preprocess_formula, reconstruct_witness
+from tests.conftest import brute_force_sat, random_formula
+
+pytestmark = pytest.mark.skipif(
+    not native.is_available(), reason="native library unavailable (no g++?)"
+)
+
+
+def test_native_parse_matches_python(data_dir):
+    for name in ("small.cnf", "easy.cnf", "hard.cnf"):
+        text = open(os.path.join(data_dir, name)).read()
+        py = parse_dimacs(text)
+        nat = native.parse_dimacs_native(text)
+        assert nat.varnum == py.varnum
+        assert nat.clauses == py.clauses
+
+
+def test_native_parse_quirks():
+    text = "c x\np cnf 4 3\n\n1 -2 0\n  \n-3 4 1 0 99\n%\n0\n"
+    py = parse_dimacs(text)
+    nat = native.parse_dimacs_native(text)
+    assert nat.clauses == py.clauses
+    assert nat.varnum == 4
+
+
+def test_native_parse_no_header():
+    text = "1 -7 0\n7 3 0\n"
+    nat = native.parse_dimacs_native(text)
+    assert nat.varnum == 3
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_native_preprocess_parity(seed):
+    rng = np.random.default_rng(seed)
+    formula = random_formula(rng, n_vars=10, n_clauses=22, max_width=3)
+    py_reduced, py_trace = preprocess_formula(formula, 7.0)
+    nat_reduced, nat_trace = native.preprocess_native(formula, 7.0)
+
+    assert nat_reduced.varnum == py_reduced.varnum
+    assert nat_reduced.clauses == py_reduced.clauses
+    assert len(nat_trace) == len(py_trace)
+    for a, b in zip(nat_trace.steps, py_trace.steps):
+        assert type(a) is type(b)
+        assert a == b
+
+
+def test_native_preprocess_easy(data_dir):
+    formula = parse_dimacs_file(os.path.join(data_dir, "easy.cnf"))
+    py_reduced, py_trace = preprocess_formula(formula, 7.0)
+    nat_reduced, nat_trace = native.preprocess_native(formula, 7.0)
+    assert nat_reduced.clauses == py_reduced.clauses
+    assert nat_reduced.varnum == py_reduced.varnum
+    assert [s for s in nat_trace.steps] == [s for s in py_trace.steps]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_native_trace_reconstructs_witness(seed):
+    rng = np.random.default_rng(500 + seed)
+    formula = random_formula(rng, n_vars=8, n_clauses=14, max_width=3)
+    if brute_force_sat(formula) is None:
+        pytest.skip("instance UNSAT")
+    reduced, trace = native.preprocess_native(formula, 4.0)
+    assignment = brute_force_sat(reduced)
+    assert assignment is not None
+    reconstruct_witness(assignment, trace)
+    assert evaluate_cnf(assignment, formula)
+
+
+def test_baseline_solver_runs(data_dir):
+    formula = parse_dimacs_file(os.path.join(data_dir, "hard.cnf"))
+    _, normalized = normalize_cnf_variables(formula)
+    rate = native.baseline_steps_per_sec(normalized, steps=2000, dt=0.01, zeta=0.001)
+    assert rate > 1000  # any sane machine does >1k steps/s on 160 clauses
