@@ -25,6 +25,7 @@ additions: --seed (the reference is unseeded and unreproducible),
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -149,7 +150,18 @@ def _finish(mapped_values: dict, formula, output) -> None:
 
 def _load(args):
     print("Reading CNF formula from file...")
+    if not os.path.exists(args.input):
+        print(f"error: input file not found: {args.input}", file=sys.stderr)
+        raise SystemExit(2)
     print("Parsing CNF formula...")
+    try:
+        from odesat_tpu import native
+
+        if native.is_available():
+            with open(args.input, "r", encoding="utf-8") as fh:
+                return native.parse_dimacs_native(fh.read())
+    except Exception:  # noqa: BLE001 — fall back to the Python parser
+        pass
     return parse_dimacs_file(args.input)
 
 

@@ -195,7 +195,22 @@ def make_fused_chunk(
         done_out[:] = done
 
     def fn(state, dev=None):  # dev ignored; signature parity with scan runner
-        B = state.v.shape[0]
+        B_in = state.v.shape[0]
+        # Mosaic requires the trajectory block to be a multiple of 8 (or
+        # the full array); pad odd batches with frozen dummy rows
+        pad = (-B_in) % 8
+        if pad:
+            pad_row = lambda x, fill: jnp.concatenate(  # noqa: E731
+                [x, jnp.full((pad,) + x.shape[1:], fill, dtype=x.dtype)], axis=0
+            )
+            state = type(state)(
+                v=pad_row(state.v, 0.0),
+                xs=pad_row(state.xs, 0.5),
+                xl=pad_row(state.xl, 1.0),
+                dt=pad_row(state.dt, 0.0),
+                done=pad_row(state.done, True),
+            )
+        B = B_in + pad
         Bb = _pick_block(B, traj_block)
         grid = (B // Bb,)
         dt_col = state.dt.astype(jnp.float32).reshape(B, 1)
@@ -247,11 +262,11 @@ def make_fused_chunk(
         from odesat_tpu.models.ode import ODEState
 
         return ODEState(
-            v=v,
-            xs=xs,
-            xl=xl,
-            dt=dt_o.reshape(B).astype(state.dt.dtype),
-            done=done_o.reshape(B) > 0.5,
+            v=v[:B_in],
+            xs=xs[:B_in],
+            xl=xl[:B_in],
+            dt=dt_o.reshape(B)[:B_in].astype(state.dt.dtype),
+            done=done_o.reshape(B)[:B_in] > 0.5,
         )
 
     return fn

@@ -81,6 +81,26 @@ def make_sharded_chunk_runner(
     collectives."""
     n_clause = mesh.shape.get("clause", 1)
     clause_axis = "clause" if n_clause > 1 else None
+
+    if clause_axis is None and ode.dv_strategy in ("auto", "fused"):
+        # trajectory-only mesh: the fused Pallas chunk shards as pure DP —
+        # each device runs the kernel on its batch slice under shard_map
+        from odesat_tpu.ops.fused_pallas import fused_supported, make_fused_chunk
+
+        use_fused = ode.dv_strategy == "fused" or (
+            jax.default_backend() == "tpu" and ode.dtype == "float32" and fused_supported(fa)
+        )
+        if use_fused and fused_supported(fa):
+            fused = make_fused_chunk(fa, zeta, ode, chunk_steps)
+            sharded_fused = shard_map(
+                lambda state: fused(state),
+                mesh=mesh,
+                in_specs=(STATE_SPECS,),
+                out_specs=STATE_SPECS,
+                check_vma=False,  # pallas_call outputs carry no vma info
+            )
+            return jax.jit(lambda state, dev: sharded_fused(state), donate_argnums=0)
+
     step = make_step_fn(fa, zeta, ode, clause_axis=clause_axis)
 
     def run_chunk(state: ODEState, dev: FormulaDevice) -> ODEState:

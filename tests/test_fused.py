@@ -82,3 +82,17 @@ def test_fused_runner_integration():
     dev = formula_device(fa)
     out = runner(state, dev)
     assert np.isfinite(np.asarray(out.v)).all()
+
+
+@pytest.mark.parametrize("B", [1, 5, 100])
+def test_fused_odd_batch_sizes(B):
+    """Batches not divisible by 8 are padded internally with frozen rows."""
+    fa = _fixture(6)
+    ode = ODEConfig(step_size=0.02)
+    state = init_state(fa, B, jax.random.PRNGKey(6), ode)
+    fused = make_fused_chunk(fa, 0.05, ode, 5, interpret=True)
+    out = fused(state)
+    assert out.v.shape[0] == B
+    # parity vs scan path
+    ref = _scan(fa, ODEConfig(step_size=0.02, dv_strategy="gather"), state, 5, 0.05)
+    np.testing.assert_allclose(np.asarray(out.v), np.asarray(ref.v), rtol=2e-4, atol=2e-5)

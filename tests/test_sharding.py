@@ -97,3 +97,30 @@ def test_simulate_batch_with_mesh_end_to_end(data_dir):
 
     mapped = map_values_by_indices(var_mapping, result.best_assignment())
     assert evaluate_cnf(mapped, formula)
+
+
+@requires_8
+def test_traj_sharded_fused_matches_single(data_dir):
+    """The fused Pallas chunk under shard_map (pure DP over 'traj') must
+    match the unsharded fused kernel."""
+    from odesat_tpu.ops.fused_pallas import make_fused_chunk
+    from odesat_tpu.utils.generate import random_ksat
+    from odesat_tpu.cnf import normalize_cnf_variables
+
+    formula = random_ksat(30, 80, k=3, seed=9)
+    _, normalized = normalize_cnf_variables(formula)
+    config = SolverConfig(ode=ODEConfig(step_size=0.02, dv_strategy="fused"))
+    mesh = make_mesh(8, 1)
+    fa = compile_for_mesh(normalized, config, mesh)
+
+    state = init_state(fa, 16, jax.random.PRNGKey(11), config.ode)
+    ref = make_fused_chunk(fa, 0.05, config.ode, 6)(state)
+
+    state_sh = jax.tree.map(lambda x: x.copy(), state)
+    dev = formula_device(fa)
+    state_sh, dev = shard_inputs(state_sh, dev, mesh)
+    runner = make_sharded_chunk_runner(fa, 0.05, config.ode, 6, mesh)
+    out = runner(state_sh, dev)
+
+    np.testing.assert_allclose(np.asarray(out.v), np.asarray(ref.v), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out.done), np.asarray(ref.done))
