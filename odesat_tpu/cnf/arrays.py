@@ -62,6 +62,12 @@ class FormulaArrays:
     min_width: int  # unit clauses (width 1) produce infinite gradients
     max_occ: int
     density: float
+    # static width buckets over a clause axis pre-sorted by width:
+    # ((m0, m1, K_b), ...) — each bucket's RHS runs at its own literal
+    # width so mixed-width formulas don't pay max width per clause.
+    # Single full-width bucket when bucketing is off.
+    bucket_slices: tuple = ()
+    n_slots: int = 0  # total flattened contribution slots sum(K_b * M_b)
 
     def __repr__(self) -> str:  # compact — the arrays are large
         return (
@@ -71,19 +77,48 @@ class FormulaArrays:
         )
 
 
+def _make_buckets(widths, min_bucket: int):
+    """Group clause indices (pre-sorted by width) into width buckets.
+    Greedy: accumulate ascending widths until a bucket holds at least
+    ``min_bucket`` clauses, then close it at the next width change.
+    Returns a list of lists of clause indices."""
+    order = sorted(range(len(widths)), key=lambda i: (widths[i], i))
+    buckets = []
+    current = []
+    current_width = None
+    for idx in order:
+        w = widths[idx]
+        if current and w != current_width and len(current) >= min_bucket:
+            buckets.append(current)
+            current = []
+        current.append(idx)
+        current_width = w
+    if current:
+        buckets.append(current)
+    return buckets
+
+
 def compile_formula(
     formula: CNFFormula,
     *,
     dtype=np.float32,
     clause_pad: int = 128,
     var_pad: int = 128,
+    bucket: bool = False,
+    min_bucket: int = 256,
 ) -> FormulaArrays:
     """Compile a normalized formula (variables must be dense indices
     ``0..k-1``; see :func:`normalize_cnf_variables`) into padded arrays.
 
     ``xs_init`` encodes the reference's short-term-memory initialization:
-    +1 if the clause contains a negated literal else -1 — "the clause's
+    +1 if the clause contains a negated literal else -1 -- "the clause's
     value if all variables are 0" (reference: src/system.rs:362-372).
+
+    ``bucket=True`` sorts the clause axis by width and records static
+    width buckets so the RHS runs each bucket at its own literal width
+    (big win after preprocessing, which emits wide resolvents). Clause
+    order is an internal layout choice: the dynamics and the readout are
+    clause-permutation invariant (up to float summation order).
     """
     if any(len(c) == 0 for c in formula.clauses):
         raise ValueError("formula contains an empty clause (trivially UNSAT)")
@@ -95,7 +130,21 @@ def compile_formula(
     if used and (min(used) < 0 or max(used) >= N):
         raise ValueError("formula is not normalized: variables must lie in [0, varnum)")
 
-    Mp = _round_up(M, clause_pad)
+    widths = [len(c) for c in formula.clauses]
+    if bucket and M and len(set(widths)) > 1:
+        index_buckets = _make_buckets(widths, min_bucket)
+    else:
+        index_buckets = [list(range(M))]
+
+    # lay out each bucket as a lane-aligned slice of the clause axis
+    bucket_meta = []  # (m0, m1, K_b, clause_indices)
+    cursor = 0
+    for indices in index_buckets:
+        Kb = max((widths[i] for i in indices), default=1)
+        Mb = _round_up(len(indices), clause_pad)
+        bucket_meta.append((cursor, cursor + Mb, Kb, indices))
+        cursor += Mb
+    Mp = cursor
     Np = _round_up(N, var_pad)
 
     lit_var = np.zeros((K, Mp), dtype=np.int32)
@@ -104,16 +153,23 @@ def compile_formula(
     clause_mask = np.zeros((Mp,), dtype=dtype)
     xs_init = np.full((Mp,), 1.0, dtype=dtype)
 
-    occurrences: list = [[] for _ in range(Np)]  # var -> flat (k*Mp + m) slots
-
-    for m, clause in enumerate(formula.clauses):
-        clause_mask[m] = 1.0
-        xs_init[m] = 1.0 if any(lit.is_negated for lit in clause) else -1.0
-        for k, lit in enumerate(clause):
-            lit_var[k, m] = lit.variable
-            sign[k, m] = -1.0 if lit.is_negated else 1.0
-            lit_mask[k, m] = 1.0
-            occurrences[lit.variable].append(k * Mp + m)
+    occurrences = [[] for _ in range(Np)]  # var -> flat contribution slot
+    slot_offset = 0
+    for m0, m1, Kb, indices in bucket_meta:
+        Mb = m1 - m0
+        for j, ci in enumerate(indices):
+            m = m0 + j
+            clause = formula.clauses[ci]
+            clause_mask[m] = 1.0
+            xs_init[m] = 1.0 if any(lit.is_negated for lit in clause) else -1.0
+            for k, lit in enumerate(clause):
+                lit_var[k, m] = lit.variable
+                sign[k, m] = -1.0 if lit.is_negated else 1.0
+                lit_mask[k, m] = 1.0
+                # slot in the concatenated per-bucket (K_b, M_b) layout
+                occurrences[lit.variable].append(slot_offset + k * Mb + j)
+        slot_offset += Kb * Mb
+    n_slots = slot_offset
 
     D = max((len(o) for o in occurrences), default=1) or 1
     var_occ = np.zeros((Np, D), dtype=np.int32)
@@ -136,7 +192,9 @@ def compile_formula(
         n_clauses=M,
         n_clauses_padded=Mp,
         max_width=K,
-        min_width=min((len(c) for c in formula.clauses), default=1),
+        min_width=min(widths, default=1),
         max_occ=D,
         density=formula.clause_density(),
+        bucket_slices=tuple((m0, m1, Kb) for m0, m1, Kb, _ in bucket_meta),
+        n_slots=n_slots,
     )

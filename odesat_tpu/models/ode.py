@@ -160,13 +160,18 @@ def make_step_fn(fa: FormulaArrays, zeta: float, ode: ODEConfig, clause_axis: Op
     dv_strategy = ode.dv_strategy
     if dv_strategy in ("fused", "auto"):
         # 'fused' is a whole-chunk kernel (make_chunk_runner handles it);
-        # in single-step contexts fall back to the gather RHS
-        dv_strategy = "gather"
+        # in single-step contexts pick between the XLA accumulators
+        dv_strategy = "segment_sum" if fa.max_occ > 32 else "gather"
     if clause_axis is not None and dv_strategy in ("gather", "onehot", "pallas"):
         # variable-major occurrence tables index the *global* flattened
         # clause slots; under a clause shard each device only holds its
         # slice, so fall back to a local segment-sum + psum.
         dv_strategy = "segment_sum"
+    if clause_axis is not None and len(fa.bucket_slices) > 1:
+        raise ValueError(
+            "width-bucketed formulas cannot be clause-sharded; "
+            "compile with bucket=False for a clause mesh"
+        )
     if dv_strategy == "onehot" and fa.min_width < 2:
         # unit clauses carry infinite gradients (see ops/rhs.py); the
         # one-hot matmul would turn inf * 0 into NaN, so fall back
@@ -203,6 +208,7 @@ def make_step_fn(fa: FormulaArrays, zeta: float, ode: ODEConfig, clause_axis: Op
             rigidity=ode.rigidity,
             dv_strategy=dv_strategy,
             onehot=onehot,
+            bucket_slices=fa.bucket_slices if len(fa.bucket_slices) > 1 else None,
         )
         if clause_axis is not None:
             dv = jax.lax.psum(dv, clause_axis)
@@ -292,6 +298,11 @@ def make_chunk_runner(fa: FormulaArrays, zeta: float, ode: ODEConfig, chunk_step
             and fused_supported(fa)
         ):
             strategy = "fused"
+        elif fa.max_occ > 32:
+            # wide occurrence tables make the variable-major gather pay
+            # N*D >> nnz; scatter-add wins (measured 2x on preprocessed
+            # n=1k random 3-SAT)
+            strategy = "segment_sum"
         else:
             strategy = "gather"
         ode = dataclasses.replace(ode, dv_strategy=strategy)
@@ -351,14 +362,31 @@ def simulate_batch(
 
         fa = compile_for_mesh(formula_or_arrays, config, mesh)
     else:
+        formula = formula_or_arrays
+        bucket = config.bucket == "on" or (
+            config.bucket == "auto"
+            and formula.num_clauses >= 512
+            and formula.max_clause_width
+            > min((len(c) for c in formula.clauses), default=1)
+        )
         fa = compile_formula(
-            formula_or_arrays, clause_pad=config.clause_pad, var_pad=config.var_pad
+            formula,
+            clause_pad=config.clause_pad,
+            var_pad=config.var_pad,
+            bucket=bucket,
         )
     ode = config.ode
     zeta = ode.resolve_zeta(fa.density)
     key = _resolve_key(config, key)
 
-    state = init_state(fa, config.batch_size, key, ode, v0=v0)
+    steps_resumed = 0
+    if config.resume_from:
+        from odesat_tpu.utils.checkpoint import load_state
+
+        loaded, steps_resumed = load_state(config.resume_from, ODEState)
+        state = jax.tree.map(jnp.asarray, loaded)
+    else:
+        state = init_state(fa, config.batch_size, key, ode, v0=v0)
     dev = formula_device(fa, dtype=_dtype(ode))
 
     if mesh is None:
@@ -373,7 +401,7 @@ def simulate_batch(
 
     tail_runner = None
     budget = ode.steps  # None => unbounded
-    steps_run = 0
+    steps_run = steps_resumed
     t0 = time.perf_counter()
     chunks = 0
     profiling = False

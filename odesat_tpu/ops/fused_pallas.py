@@ -87,8 +87,10 @@ def make_fused_chunk(
     tol = float(ode.tolerance)
     zeta_c = float(zeta)
     xl_cap = XL_CAP_PER_CLAUSE * fa.n_clauses
+    bf16 = getattr(ode, "matmul_dtype", "float32") == "bfloat16"
+    mm_dtype = jnp.bfloat16 if bf16 else jnp.float32
 
-    G_host = jnp.asarray(_build_onehot_stacked(fa, np.float32))
+    G_host = jnp.asarray(_build_onehot_stacked(fa, np.float32)).astype(mm_dtype)
     sign_host = jnp.asarray(fa.sign.astype(np.float32))
     mask_host = jnp.asarray(fa.lit_mask.astype(np.float32))
     cmask_host = jnp.asarray(fa.clause_mask.astype(np.float32).reshape(1, Mp))
@@ -108,7 +110,9 @@ def make_fused_chunk(
             m2 = jnp.full(xs.shape, _INF, dtype=v.dtype)
             for k in range(K):
                 gk = jnp.dot(
-                    v, g_ref[k * Np : (k + 1) * Np, :], preferred_element_type=v.dtype
+                    v.astype(mm_dtype),
+                    g_ref[k * Np : (k + 1) * Np, :],
+                    preferred_element_type=v.dtype,
                 )
                 valk = jnp.where(masks[k], 1.0 - signs[k] * gk, _INF)
                 m2 = jnp.minimum(m2, jnp.maximum(m1, valk))
@@ -129,7 +133,7 @@ def make_fused_chunk(
                     masks[k], xl * xs * g + (1.0 + zeta_c * xl) * (1.0 - xs) * r, 0.0
                 )
                 dv = dv + jax.lax.dot_general(
-                    contrib,
+                    contrib.astype(mm_dtype),
                     g_ref[k * Np : (k + 1) * Np, :],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=v.dtype,

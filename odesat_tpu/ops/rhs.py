@@ -96,27 +96,10 @@ def accumulate_dv_onehot(contrib_flat, onehot):
     return jnp.dot(contrib_flat, onehot, preferred_element_type=contrib_flat.dtype)
 
 
-def compute_derivatives(
-    v,
-    xs,
-    xl,
-    *,
-    lit_var,
-    sign,
-    lit_mask,
-    clause_mask,
-    var_occ,
-    occ_mask,
-    zeta,
-    rigidity: str = "paper",
-    dv_strategy: str = "gather",
-    onehot=None,
-):
-    """One RHS evaluation. Batched via vmap over the leading axis of
-    (v, xs, xl). Returns (dv, dxs, dxl, allsat).
-
-    v: (..., N) variable values; xs, xl: (..., M) clause memories.
-    """
+def _clause_terms(v, xs, xl, lit_var, sign, lit_mask, clause_mask, zeta, rigidity):
+    """Per-clause math for one width bucket: returns (c, contrib_flat)
+    where contrib_flat is the flattened (..., K*M) per-literal dv
+    contribution in row-major (k, m) order."""
     vals, gathered = clause_values(v, lit_var, sign, lit_mask)  # (..., K, M)
     min1, min2 = top2_min(vals)
     c = 0.5 * jnp.squeeze(min1, axis=-2)  # (..., M)
@@ -143,16 +126,79 @@ def compute_derivatives(
     contrib = jnp.where(
         lit_on, xl_b * xs_b * g + (1.0 + zeta * xl_b) * (1.0 - xs_b) * r, 0.0
     )
-
     K, M = lit_var.shape
-    contrib_flat = contrib.reshape(*contrib.shape[:-2], K * M)
+    return c, contrib.reshape(*contrib.shape[:-2], K * M)
+
+
+def compute_derivatives(
+    v,
+    xs,
+    xl,
+    *,
+    lit_var,
+    sign,
+    lit_mask,
+    clause_mask,
+    var_occ,
+    occ_mask,
+    zeta,
+    rigidity: str = "paper",
+    dv_strategy: str = "gather",
+    onehot=None,
+    bucket_slices=None,
+):
+    """One RHS evaluation. Batched via vmap over the leading axis of
+    (v, xs, xl). Returns (dv, dxs, dxl, allsat).
+
+    v: (..., N) variable values; xs, xl: (..., M) clause memories.
+
+    ``bucket_slices``: static tuple of (m0, m1, K_b) width buckets over a
+    clause axis pre-sorted by width (cnf/arrays.py). Each bucket's clause
+    math runs at its own literal width K_b, so mixed-width formulas (VE
+    resolvents) don't pay the max width on every clause. None = one
+    bucket at full width. ``var_occ`` must index the matching flattened
+    contribution layout (the compiler builds both consistently).
+    """
+    K, M = lit_var.shape
+    if bucket_slices is None:
+        bucket_slices = ((0, M, K),)
+
+    c_parts = []
+    contrib_parts = []
+    seg_parts = []
+    for m0, m1, Kb in bucket_slices:
+        c_b, contrib_b = _clause_terms(
+            v,
+            xs[..., m0:m1],
+            xl[..., m0:m1],
+            lit_var[:Kb, m0:m1],
+            sign[:Kb, m0:m1],
+            lit_mask[:Kb, m0:m1],
+            clause_mask[m0:m1],
+            zeta,
+            rigidity,
+        )
+        c_parts.append(c_b)
+        contrib_parts.append(contrib_b)
+        seg_parts.append(lit_var[:Kb, m0:m1].reshape(-1))
+
+    c = c_parts[0] if len(c_parts) == 1 else jnp.concatenate(c_parts, axis=-1)
+    contrib_flat = (
+        contrib_parts[0]
+        if len(contrib_parts) == 1
+        else jnp.concatenate(contrib_parts, axis=-1)
+    )
+
     if dv_strategy == "gather":
         dv = accumulate_dv_gather(contrib_flat, var_occ, occ_mask)
     elif dv_strategy == "segment_sum":
-        dv = accumulate_dv_segment(contrib_flat, lit_var.reshape(-1), v.shape[-1])
+        seg_ids = seg_parts[0] if len(seg_parts) == 1 else jnp.concatenate(seg_parts)
+        dv = accumulate_dv_segment(contrib_flat, seg_ids, v.shape[-1])
     elif dv_strategy == "onehot":
         if onehot is None:
             raise ValueError("dv_strategy='onehot' requires the onehot incidence matrix")
+        if len(bucket_slices) > 1:
+            raise ValueError("dv_strategy='onehot' does not support width buckets")
         dv = accumulate_dv_onehot(contrib_flat, onehot)
     else:
         raise ValueError(f"unknown dv_strategy: {dv_strategy!r}")

@@ -43,6 +43,11 @@ class ODEConfig:
     #   "fused"       - multi-step Pallas chunk kernel, state in VMEM
     #                   (12-14x the scan path on v5e for small/medium CNFs)
     dv_strategy: str = "auto"
+    # fused-kernel matmul input precision: "float32" (exact parity) or
+    # "bfloat16" (2x MXU throughput, halves the incidence VMEM footprint;
+    # trajectories diverge at ~1e-3 relative — solutions are still
+    # oracle-verified, so only time-to-solution statistics can shift)
+    matmul_dtype: str = "float32"
 
     def resolve_zeta(self, density: float) -> float:
         return self.zeta if self.zeta is not None else zeta_for_density(density)
@@ -60,8 +65,13 @@ class SolverConfig:
     chunk_steps: int = 256  # scan steps per device dispatch (early-exit granularity)
     var_pad: int = 128
     clause_pad: int = 128
+    # width bucketing of the clause axis ("auto" | "on" | "off"): group
+    # clauses by width so mixed-width formulas (preprocessing emits wide
+    # resolvents) don't pay max clause width on every clause
+    bucket: str = "auto"
     checkpoint_path: Optional[str] = None  # optional state snapshot between chunks
     checkpoint_every_chunks: int = 0  # 0 => disabled
+    resume_from: Optional[str] = None  # resume a solve from a snapshot (.npz)
     profile_dir: Optional[str] = None  # jax.profiler trace output
     log_every_chunks: int = 0  # 0 => no periodic progress logs
     wall_clock_budget_s: Optional[float] = None  # stop unbounded runs after this

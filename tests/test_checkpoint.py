@@ -24,3 +24,31 @@ def test_checkpoint_roundtrip(tmp_path, data_dir):
     assert steps == 123
     for a, b in zip(state, restored):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_from_checkpoint(tmp_path, data_dir):
+    """A solve checkpointed mid-run and resumed must account resumed
+    steps against the budget and finish."""
+    import dataclasses
+    from odesat_tpu.models.ode import simulate_batch
+    from odesat_tpu.utils.config import ODEConfig, SolverConfig
+
+    formula = parse_dimacs_file(os.path.join(data_dir, "hard.cnf"))
+    _, normalized = normalize_cnf_variables(formula)
+    path = str(tmp_path / "resume.npz")
+
+    config = SolverConfig(
+        ode=ODEConfig(step_size=0.01, steps=200),
+        batch_size=4,
+        seed=9,
+        chunk_steps=50,
+        checkpoint_path=path,
+        checkpoint_every_chunks=1,
+    )
+    r1 = simulate_batch(normalized, config)
+    assert os.path.exists(path)
+
+    resumed = dataclasses.replace(config, resume_from=path, checkpoint_every_chunks=0)
+    r2 = simulate_batch(normalized, resumed)
+    # snapshot taken at a 50-step boundary; resumed run continues to 200
+    assert r2.steps == 200

@@ -124,3 +124,14 @@ def test_traj_sharded_fused_matches_single(data_dir):
 
     np.testing.assert_allclose(np.asarray(out.v), np.asarray(ref.v), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(out.done), np.asarray(ref.done))
+
+
+def test_make_pod_mesh():
+    from odesat_tpu.parallel.multihost import initialize_distributed, make_pod_mesh
+
+    initialize_distributed()  # single-process no-op
+    if len(jax.devices()) % 2 == 0:
+        mesh = make_pod_mesh(n_clause=2)
+        assert mesh.shape["clause"] == 2
+    mesh = make_pod_mesh()
+    assert mesh.shape["traj"] == len(jax.devices())
