@@ -121,7 +121,19 @@ def make_stoch_step(fa: FormulaArrays):
     return step
 
 
-def make_stoch_chunk_runner(fa: FormulaArrays, chunk_steps: int):
+def make_stoch_chunk_runner(fa: FormulaArrays, chunk_steps: int, fused: str = "auto"):
+    """fused: "auto" picks the multi-step Pallas kernel on TPU when the
+    formula fits its VMEM envelope (ops/stoch_pallas.py); "on"/"off"
+    force. The kernel's PRNG stream differs from the scan path's
+    jax.random stream (reproducible per seed within one path)."""
+    if fused != "off":
+        from odesat_tpu.ops.stoch_pallas import make_fused_stoch_chunk, stoch_fused_supported
+
+        if stoch_fused_supported(fa) and (
+            fused == "on" or jax.default_backend() == "tpu"
+        ):
+            return jax.jit(make_fused_stoch_chunk(fa, chunk_steps), donate_argnums=0)
+
     step = make_stoch_step(fa)
 
     def run_chunk(state: StochState) -> StochState:

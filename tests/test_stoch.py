@@ -87,3 +87,56 @@ def test_stoch_seed_reproducible(data_dir):
     r1 = search(normalized, config)
     r2 = search(normalized, config)
     np.testing.assert_array_equal(r1.assignment, r2.assignment)
+
+
+def test_fused_stoch_chunk_semantics(data_dir):
+    """Fused stoch kernel (interpret mode): weight updates match the scan
+    step exactly; flips are distribution-equal (deterministic cases
+    checked: prob 0 and prob 1)."""
+    from odesat_tpu.cnf.formula import CNFFormula, Literal
+    from odesat_tpu.ops.stoch_pallas import make_fused_stoch_chunk
+
+    # (x0) unsatisfied at all-false start -> always flips x0;
+    # (-x1) satisfied -> never flips x1
+    formula = CNFFormula([(Literal(0),), (Literal(1, True),)], 2)
+    fa = compile_formula(formula, clause_pad=128, var_pad=128)
+    state = init_stoch_state(fa, 16, jax.random.PRNGKey(0))
+    fused = make_fused_stoch_chunk(fa, 1, interpret=True)
+    out = fused(state)
+    v = np.asarray(out.v)
+    xl = np.asarray(out.xl)
+    assert (v[:, 0] == True).all()  # noqa: E712 — unsat/total == 1
+    assert (v[:, 1] == False).all()  # noqa: E712 — unsat/total == 0
+    assert (xl[:, 0] == 21).all()
+    assert (xl[:, 1] == 1).all()
+
+
+def test_fused_stoch_solves_small(data_dir):
+    from odesat_tpu.ops.stoch_pallas import make_fused_stoch_chunk
+
+    formula = parse_dimacs_file(os.path.join(data_dir, "small.cnf"))
+    var_mapping, normalized = normalize_cnf_variables(formula)
+    fa = compile_formula(normalized)
+    state = init_stoch_state(fa, 32, jax.random.PRNGKey(5))
+    fused = make_fused_stoch_chunk(fa, 200, interpret=True)
+    out = fused(state)
+    done = np.asarray(out.done)
+    assert done.any()
+    idx = int(np.flatnonzero(done)[0])
+    mapped = map_values_by_indices(var_mapping, np.asarray(out.v)[idx, : fa.n_vars])
+    assert evaluate_cnf(mapped, formula)
+
+
+def test_fused_stoch_freeze(data_dir):
+    """Solved chains stay frozen across further fused chunks."""
+    from odesat_tpu.ops.stoch_pallas import make_fused_stoch_chunk
+    from odesat_tpu.cnf.formula import CNFFormula, Literal
+
+    formula = CNFFormula([(Literal(0, True),)], 1)  # satisfied at all-false
+    fa = compile_formula(formula, clause_pad=128, var_pad=128)
+    state = init_stoch_state(fa, 8, jax.random.PRNGKey(1))
+    fused = make_fused_stoch_chunk(fa, 3, interpret=True)
+    out = fused(state)
+    assert np.asarray(out.done).all()
+    out2 = fused(out)
+    np.testing.assert_array_equal(np.asarray(out2.v), np.asarray(out.v))
