@@ -292,10 +292,11 @@ def make_chunk_runner(fa: FormulaArrays, zeta: float, ode: ODEConfig, chunk_step
     if strategy == "auto":
         from odesat_tpu.ops.fused_pallas import fused_supported
 
+        itemsize = 2 if ode.matmul_dtype == "bfloat16" else 4
         if (
             jax.default_backend() == "tpu"
             and ode.dtype == "float32"
-            and fused_supported(fa)
+            and fused_supported(fa, itemsize)
         ):
             strategy = "fused"
         elif fa.max_occ > 32:
@@ -389,14 +390,21 @@ def simulate_batch(
         state = init_state(fa, config.batch_size, key, ode, v0=v0)
     dev = formula_device(fa, dtype=_dtype(ode))
 
+    # tiny batches are dispatch-latency bound; amortize with longer chunks
+    chunk_steps = config.chunk_steps
+    if config.batch_size < 64 and (ode.steps is None or ode.steps > chunk_steps):
+        chunk_steps = max(chunk_steps, 2048)
+        if ode.steps is not None:
+            chunk_steps = min(chunk_steps, ode.steps)
+
     if mesh is None:
-        runner = make_chunk_runner(fa, zeta, ode, config.chunk_steps)
+        runner = make_chunk_runner(fa, zeta, ode, chunk_steps)
         make_tail = lambda n: make_chunk_runner(fa, zeta, ode, n)  # noqa: E731
     else:
         from odesat_tpu.parallel.sharded import make_sharded_chunk_runner, shard_inputs
 
         state, dev = shard_inputs(state, dev, mesh)
-        runner = make_sharded_chunk_runner(fa, zeta, ode, config.chunk_steps, mesh)
+        runner = make_sharded_chunk_runner(fa, zeta, ode, chunk_steps, mesh)
         make_tail = lambda n: make_sharded_chunk_runner(fa, zeta, ode, n, mesh)  # noqa: E731
 
     tail_runner = None
@@ -413,14 +421,14 @@ def simulate_batch(
             remaining = None if budget is None else budget - steps_run
             if remaining is not None and remaining <= 0:
                 break
-            if remaining is not None and remaining < config.chunk_steps:
+            if remaining is not None and remaining < chunk_steps:
                 if tail_runner is None:
                     tail_runner = make_tail(remaining)
                 state = tail_runner(state, dev)
                 steps_run += remaining
             else:
                 state = runner(state, dev)
-                steps_run += config.chunk_steps
+                steps_run += chunk_steps
             chunks += 1
 
             done = np.asarray(state.done)

@@ -51,11 +51,13 @@ _INF = float("inf")
 _VMEM_G_LIMIT = 8 * 1024 * 1024
 
 
-def fused_supported(fa: FormulaArrays) -> bool:
+def fused_supported(fa: FormulaArrays, itemsize: int = 4) -> bool:
+    """itemsize: bytes per one-hot entry (4 for f32 matmuls, 2 for bf16 —
+    bfloat16 doubles the formula-size envelope)."""
     K, Mp = fa.lit_var.shape
     return (
         fa.min_width >= 2
-        and K * fa.n_vars_padded * Mp * 4 <= _VMEM_G_LIMIT
+        and K * fa.n_vars_padded * Mp * itemsize <= _VMEM_G_LIMIT
     )
 
 
@@ -71,7 +73,8 @@ def make_fused_chunk(
     trajectory ``chunk_steps`` steps in one kernel launch. ``dev`` is
     accepted for signature parity with the scan runner and ignored (the
     incidence arrays are baked into the kernel as constants)."""
-    if not fused_supported(fa):
+    itemsize = 2 if getattr(ode, "matmul_dtype", "float32") == "bfloat16" else 4
+    if not fused_supported(fa, itemsize):
         raise ValueError(
             "fused pallas chunk unsupported for this formula "
             "(unit clauses or one-hot block exceeds VMEM); use the scan path"

@@ -1,4 +1,5 @@
-"""Preprocessor invariants (SURVEY.md §4): any satisfying assignment of the
+"""Pure-Python preprocessor invariants (native=False; the C++ path is
+covered by tests/test_native.py parity) (SURVEY.md §4): any satisfying assignment of the
 reduced formula must extend — via the trace — to a satisfying assignment
 of the original; plus unit tests of the resolution machinery."""
 
@@ -59,7 +60,7 @@ def test_preprocess_raises_density(data_dir):
     import os
 
     formula = parse_dimacs_file(os.path.join(data_dir, "easy.cnf"))
-    reduced, trace = preprocess_formula(formula, 7.0)
+    reduced, trace = preprocess_formula(formula, 7.0, native=False)
     assert reduced.varnum < formula.varnum
     assert len(trace) > 0
     # density raised toward the target (reference prints Clauses|Vars here)
@@ -76,7 +77,7 @@ def test_witness_reconstruction_roundtrip(seed):
     formula = random_formula(rng, n_vars=8, n_clauses=14, max_width=3)
     if brute_force_sat(formula) is None:
         pytest.skip("random instance UNSAT")
-    reduced, trace = preprocess_formula(formula, target_ratio=4.0)
+    reduced, trace = preprocess_formula(formula, target_ratio=4.0, native=False)
     assignment = brute_force_sat(reduced)
     assert assignment is not None, "preprocessing must preserve satisfiability"
     reconstruct_witness(assignment, trace)
@@ -89,7 +90,7 @@ def test_preprocess_unsat_never_crashes(seed):
     not raise (the verdict simply stays false, like the reference)."""
     rng = np.random.default_rng(1000 + seed)
     formula = random_formula(rng, n_vars=4, n_clauses=20, max_width=2)
-    reduced, trace = preprocess_formula(formula, target_ratio=7.0)
+    reduced, trace = preprocess_formula(formula, target_ratio=7.0, native=False)
     if brute_force_sat(formula) is not None:
         pytest.skip("instance happened to be SAT")
     assignment = {v: False for v in reduced.variable_set()}
@@ -100,8 +101,8 @@ def test_preprocess_unsat_never_crashes(seed):
 def test_preprocess_deterministic():
     rng = np.random.default_rng(5)
     formula = random_formula(rng, n_vars=10, n_clauses=20, max_width=3)
-    r1, t1 = preprocess_formula(formula, 7.0)
-    r2, t2 = preprocess_formula(formula, 7.0)
+    r1, t1 = preprocess_formula(formula, 7.0, native=False)
+    r2, t2 = preprocess_formula(formula, 7.0, native=False)
     assert r1.clauses == r2.clauses
     assert r1.varnum == r2.varnum
     assert len(t1) == len(t2)

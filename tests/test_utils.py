@@ -1,0 +1,74 @@
+"""Coverage for the utility modules: generation, timing, logging, config."""
+
+import jax
+import numpy as np
+
+from odesat_tpu.cnf import evaluate_cnf
+from odesat_tpu.utils.config import ODEConfig, SolverConfig, zeta_for_density
+from odesat_tpu.utils.generate import random_ksat, uf_instance
+from odesat_tpu.utils.logging import Throughput, chunk_metrics
+from odesat_tpu.utils.timing import sync
+
+
+def test_zeta_table():
+    """Density thresholds match the reference (src/system.rs:164-173)."""
+    assert zeta_for_density(7.0) == 0.1
+    assert zeta_for_density(6.0) == 0.1
+    assert zeta_for_density(5.0) == 0.01
+    assert zeta_for_density(4.9) == 0.01
+    assert zeta_for_density(1.6) == 0.001
+
+
+def test_resolve_zeta_override():
+    assert ODEConfig(zeta=0.5).resolve_zeta(1.0) == 0.5
+    assert ODEConfig().resolve_zeta(7.0) == 0.1
+
+
+def test_random_ksat_shape_and_widths():
+    f = random_ksat(50, 200, k=3, seed=1)
+    assert f.varnum == 50
+    assert f.num_clauses == 200
+    assert all(len(c) == 3 for c in f.clauses)
+    assert all(len({lit.variable for lit in c}) == 3 for c in f.clauses)
+
+
+def test_random_ksat_planted_is_sat():
+    f = random_ksat(30, 200, k=3, seed=2, planted=True)
+    # the hidden assignment must satisfy; recover it by replaying the rng
+    rng = np.random.default_rng(2)
+    hidden = rng.integers(0, 2, size=31).astype(bool)
+    assignment = {v: bool(hidden[v]) for v in range(1, 31)}
+    assert evaluate_cnf(assignment, f)
+
+
+def test_uf_instance():
+    f = uf_instance(100, seed=3)
+    assert f.varnum == 100
+    assert f.num_clauses == 426
+
+
+def test_chunk_metrics_and_throughput():
+    from odesat_tpu.cnf import compile_formula
+    from odesat_tpu.models.ode import init_state
+
+    f = random_ksat(10, 30, k=3, seed=4)
+    from odesat_tpu.cnf import normalize_cnf_variables
+
+    _, norm = normalize_cnf_variables(f)
+    fa = compile_formula(norm, clause_pad=8, var_pad=8)
+    state = init_state(fa, 4, jax.random.PRNGKey(0), ODEConfig())
+    metrics = chunk_metrics(state, steps_run=10)
+    assert metrics["batch"] == 4
+    assert metrics["solved"] == 0
+    assert "dt_med" in metrics
+    assert sync(state).shape == (4,)
+
+    tp = Throughput(batch_size=4)
+    tp.add(100)
+    assert tp.rate() > 0
+
+
+def test_solver_config_with_ode():
+    config = SolverConfig().with_ode(step_size=0.5)
+    assert config.ode.step_size == 0.5
+    assert config.ode.tolerance == 1e-3
