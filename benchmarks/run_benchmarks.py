@@ -113,7 +113,7 @@ def main():
     reduced, trace = preprocess_formula(formula, 7.0)
     prep_s = time.perf_counter() - t0
     _, normalized = normalize_cnf_variables(reduced)
-    fa = compile_formula(normalized)
+    fa = compile_formula(normalized, bucket=True)  # VE emits mixed widths
     ode = ODEConfig(step_size=0.01)
     results["configs"]["random3sat_n1k_inter10k"] = {
         "preprocess_s": prep_s,

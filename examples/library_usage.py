@@ -1,0 +1,50 @@
+"""Library API tour: everything the CLI does, programmatically.
+
+Run: python examples/library_usage.py [path/to/file.cnf]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+import odesat_tpu as ot
+
+path = sys.argv[1] if len(sys.argv) > 1 else "tests/data/easy.cnf"
+
+# 1. parse + preprocess (native C++ when available) + normalize
+formula = ot.parse_dimacs(open(path).read())
+reduced, trace = ot.preprocess_formula(formula, target_ratio=7.0)
+var_mapping, normalized = ot.normalize_cnf_variables(reduced)
+print(f"{formula.num_clauses} clauses / {formula.varnum} vars "
+      f"-> {reduced.num_clauses} / {reduced.varnum} after preprocessing")
+
+# 2. batched ODE solve (auto-selects the fused Pallas kernel on TPU)
+config = ot.SolverConfig(
+    ode=ot.ODEConfig(steps=20_000),  # adaptive step, tolerance 1e-3
+    batch_size=1024,
+    seed=0,
+)
+result = ot.simulate_batch(normalized, config)
+print(f"solved={result.any_solved} after {result.steps} steps "
+      f"in {result.wall_time_s:.2f}s ({result.done.sum()} trajectories)")
+
+# 3. map back through normalization + witness reconstruction, then verify
+assignment = ot.cnf.map_values_by_indices(var_mapping, result.best_assignment())
+ot.reconstruct_witness(assignment, trace)
+print("verified:", ot.evaluate_cnf(assignment, formula))
+
+# 4. the stochastic engine on the same formula
+stoch_result = ot.search(normalized, ot.SolverConfig(
+    ode=ot.ODEConfig(steps=100_000), batch_size=256, seed=1))
+print("stoch solved:", stoch_result.solved_index is not None)
+
+# 5. multi-device: shard trajectories (and clauses) over a mesh
+if len(jax.devices()) > 1:
+    from odesat_tpu.parallel import make_mesh
+
+    mesh = make_mesh(len(jax.devices()), 1)
+    result = ot.simulate_batch(normalized, config, mesh=mesh)
+    print("sharded solve:", result.any_solved)
