@@ -158,9 +158,10 @@ def make_step_fn(fa: FormulaArrays, zeta: float, ode: ODEConfig, clause_axis: Op
     xl_cap = XL_CAP_PER_CLAUSE * fa.n_clauses  # real clause count (src/system.rs:95)
     zeta = float(zeta)
     dv_strategy = ode.dv_strategy
-    if dv_strategy in ("fused", "auto"):
-        # 'fused' is a whole-chunk kernel (make_chunk_runner handles it);
-        # in single-step contexts pick between the XLA accumulators
+    if dv_strategy in ("fused", "stream", "auto"):
+        # 'fused'/'stream' are whole-chunk kernels (make_chunk_runner
+        # handles them); in single-step contexts pick between the XLA
+        # accumulators
         dv_strategy = "segment_sum" if fa.max_occ > 32 else "gather"
     if clause_axis is not None and dv_strategy in ("gather", "onehot", "pallas"):
         # variable-major occurrence tables index the *global* flattened
@@ -286,11 +287,16 @@ def make_chunk_runner(fa: FormulaArrays, zeta: float, ode: ODEConfig, chunk_step
 
     dv_strategy='fused' dispatches the whole chunk to the multi-step
     Pallas kernel (state resident in VMEM, ops/fused_pallas.py) instead
-    of a lax.scan of single steps; 'auto' picks fused on TPU when the
-    formula supports it (measured 12-14x over the scan path on v5e)."""
+    of a lax.scan of single steps; 'stream' uses the HBM-streaming
+    variant for formulas too big for the resident kernel
+    (ops/stream_pallas.py, ~5x the bucketed gather path on preprocessed
+    n=1k random 3-SAT); 'auto' picks fused, then stream, on TPU when
+    the formula supports them (fused measured 12-14x over the scan
+    path on v5e)."""
     strategy = ode.dv_strategy
     if strategy == "auto":
         from odesat_tpu.ops.fused_pallas import fused_supported
+        from odesat_tpu.ops.stream_pallas import stream_supported
 
         itemsize = 2 if ode.matmul_dtype == "bfloat16" else 4
         if (
@@ -299,6 +305,12 @@ def make_chunk_runner(fa: FormulaArrays, zeta: float, ode: ODEConfig, chunk_step
             and fused_supported(fa, itemsize)
         ):
             strategy = "fused"
+        elif (
+            jax.default_backend() == "tpu"
+            and ode.dtype == "float32"
+            and stream_supported(fa, itemsize)
+        ):
+            strategy = "stream"
         elif fa.max_occ > 32:
             # wide occurrence tables make the variable-major gather pay
             # N*D >> nnz; scatter-add wins (measured 2x on preprocessed
@@ -312,6 +324,11 @@ def make_chunk_runner(fa: FormulaArrays, zeta: float, ode: ODEConfig, chunk_step
         from odesat_tpu.ops.fused_pallas import make_fused_chunk
 
         return jax.jit(make_fused_chunk(fa, zeta, ode, chunk_steps), donate_argnums=0)
+
+    if strategy == "stream":
+        from odesat_tpu.ops.stream_pallas import make_stream_chunk
+
+        return jax.jit(make_stream_chunk(fa, zeta, ode, chunk_steps), donate_argnums=0)
 
     step = make_step_fn(fa, zeta, ode)
 

@@ -92,6 +92,9 @@ def make_fused_chunk(
     xl_cap = XL_CAP_PER_CLAUSE * fa.n_clauses
     bf16 = getattr(ode, "matmul_dtype", "float32") == "bfloat16"
     mm_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    # f32 mode is the parity path: force true-f32 MXU passes (the TPU
+    # default silently truncates f32 matmul inputs to bf16)
+    mm_precision = None if bf16 else jax.lax.Precision.HIGHEST
 
     G_host = jnp.asarray(_build_onehot_stacked(fa, np.float32)).astype(mm_dtype)
     sign_host = jnp.asarray(fa.sign.astype(np.float32))
@@ -116,6 +119,7 @@ def make_fused_chunk(
                     v.astype(mm_dtype),
                     g_ref[k * Np : (k + 1) * Np, :],
                     preferred_element_type=v.dtype,
+                    precision=mm_precision,
                 )
                 valk = jnp.where(masks[k], 1.0 - signs[k] * gk, _INF)
                 m2 = jnp.minimum(m2, jnp.maximum(m1, valk))
@@ -140,6 +144,7 @@ def make_fused_chunk(
                     g_ref[k * Np : (k + 1) * Np, :],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=v.dtype,
+                    precision=mm_precision,
                 )
             dxs = BETA * (xs + EPSILON) * (c - GAMMA) * cmask
             dxl = ALPHA * (c - DELTA) * cmask

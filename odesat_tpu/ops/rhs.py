@@ -93,7 +93,14 @@ def accumulate_dv_segment(contrib_flat, lit_var_flat, n_vars_padded):
 def accumulate_dv_onehot(contrib_flat, onehot):
     """dv via MXU matmul against the constant one-hot incidence matrix
     (K*M, N). Wastes flops but rides the systolic array; wins for small N."""
-    return jnp.dot(contrib_flat, onehot, preferred_element_type=contrib_flat.dtype)
+    return jnp.dot(
+        contrib_flat,
+        onehot,
+        preferred_element_type=contrib_flat.dtype,
+        # true f32: the TPU default silently truncates matmul inputs to
+        # bf16, breaking parity with the gather/segment_sum strategies
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _clause_terms(v, xs, xl, lit_var, sign, lit_mask, clause_mask, zeta, rigidity):

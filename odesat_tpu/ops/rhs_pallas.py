@@ -117,7 +117,10 @@ def make_pallas_rhs(
         m2 = jnp.full(xs.shape, _INF, dtype=v.dtype)
         for k in range(K):
             gk = jnp.dot(
-                v, g_ref[k * Np : (k + 1) * Np, :], preferred_element_type=v.dtype
+                v,
+                g_ref[k * Np : (k + 1) * Np, :],
+                preferred_element_type=v.dtype,
+                precision=jax.lax.Precision.HIGHEST,  # true f32 (TPU default truncates to bf16)
             )  # (Bb, Mb) gathered variable values
             sk = sign_ref[k : k + 1, :]  # (1, Mb)
             mk = mask_ref[k : k + 1, :] > 0
@@ -146,6 +149,7 @@ def make_pallas_rhs(
                 g_ref[k * Np : (k + 1) * Np, :],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=v.dtype,
+                precision=jax.lax.Precision.HIGHEST,
             )
 
         @pl.when(j == 0)

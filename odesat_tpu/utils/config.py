@@ -42,6 +42,10 @@ class ODEConfig:
     #   "pallas"      - fused single-step Pallas kernel (onehot-based)
     #   "fused"       - multi-step Pallas chunk kernel, state in VMEM
     #                   (12-14x the scan path on v5e for small/medium CNFs)
+    #   "stream"      - multi-step Pallas chunk kernel with the incidence
+    #                   planes + clause memories streamed from HBM
+    #                   (large CNFs the resident kernel can't hold; ~5x
+    #                   the bucketed gather path on preprocessed n=1k)
     dv_strategy: str = "auto"
     # fused-kernel matmul input precision: "float32" (exact parity) or
     # "bfloat16" (2x MXU throughput, halves the incidence VMEM footprint;
