@@ -50,7 +50,10 @@ def bench_fixed_step(batch_size: int = 16384, chunk_steps: int = 2000, repeats: 
     formula = parse_dimacs_file(os.path.join(HERE, "tests", "data", "hard.cnf"))
     _, normalized = normalize_cnf_variables(formula)
     fa = compile_formula(normalized)
-    ode = ODEConfig(step_size=0.01, dv_strategy="auto")  # fused kernel on TPU
+    # fused kernel on TPU; bfloat16 matmuls are the documented throughput
+    # mode (f32 now forces true-f32 3-pass MXU for parity — solutions are
+    # oracle-verified either way, only trajectory statistics shift)
+    ode = ODEConfig(step_size=0.01, dv_strategy="auto", matmul_dtype="bfloat16")
     zeta = ode.resolve_zeta(fa.density)
 
     dev = formula_device(fa)

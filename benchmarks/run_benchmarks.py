@@ -95,12 +95,12 @@ def main():
     formula = parse_dimacs_file(os.path.join(DATA, "hard.cnf"))
     _, normalized = normalize_cnf_variables(formula)
     fa = compile_formula(normalized)
-    ode = ODEConfig()  # adaptive, tol 1e-3
+    ode = ODEConfig(matmul_dtype="bfloat16")  # adaptive, tol 1e-3
     results["configs"]["hard_adaptive"] = {
         "traj_steps_per_sec": throughput(fa, ode, batch=2048 if q else 8192, chunk=200),
         "note": "adaptive = 2 RHS evals + 3 updates per step",
     }
-    ode_fixed = ODEConfig(step_size=0.01)
+    ode_fixed = ODEConfig(step_size=0.01, matmul_dtype="bfloat16")
     results["configs"]["hard_fixed"] = {
         "traj_steps_per_sec": throughput(
             fa, ode_fixed, batch=4096 if q else 16384, chunk=500
@@ -114,7 +114,7 @@ def main():
     prep_s = time.perf_counter() - t0
     _, normalized = normalize_cnf_variables(reduced)
     fa = compile_formula(normalized, bucket=True)  # VE emits mixed widths
-    ode = ODEConfig(step_size=0.01)
+    ode = ODEConfig(step_size=0.01, matmul_dtype="bfloat16")  # auto -> stream kernel
     results["configs"]["random3sat_n1k_inter10k"] = {
         "preprocess_s": prep_s,
         "reduced_clauses": reduced.num_clauses,
@@ -130,7 +130,10 @@ def main():
     fa = compile_formula(normalized)
     results["configs"]["uf250_fixed"] = {
         "traj_steps_per_sec": throughput(
-            fa, ODEConfig(step_size=0.01), batch=4096 if q else 16384, chunk=200
+            fa,
+            ODEConfig(step_size=0.01, matmul_dtype="bfloat16"),
+            batch=4096 if q else 16384,
+            chunk=200,
         ),
     }
 

@@ -49,10 +49,17 @@ def _add_common(p: argparse.ArgumentParser, batch_required: bool = False) -> Non
     p.add_argument("--rigidity", choices=["paper", "reference"], default="paper")
     p.add_argument(
         "--dv-strategy",
-        choices=["auto", "gather", "segment_sum", "onehot", "pallas", "fused"],
+        choices=["auto", "gather", "segment_sum", "onehot", "pallas", "fused", "stream"],
         default="auto",
     )
     p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
+    p.add_argument(
+        "--matmul-dtype",
+        choices=["float32", "bfloat16"],
+        default="float32",
+        help="Pallas-kernel matmul precision (bfloat16 = 2x MXU throughput, "
+        "2x kernel formula envelope; solutions stay oracle-verified)",
+    )
     p.add_argument("--devices", type=int, default=1, help="devices on the trajectory mesh axis")
     p.add_argument("--clause-shards", type=int, default=1, help="devices on the clause mesh axis")
     p.add_argument("--profile-dir", default=None, help="jax.profiler trace directory")
@@ -108,6 +115,7 @@ def _config_from_args(args, batch_size: int = 1) -> SolverConfig:
         rigidity=args.rigidity,
         dtype=args.dtype,
         dv_strategy=args.dv_strategy,
+        matmul_dtype=args.matmul_dtype,
     )
     return SolverConfig(
         ode=ode,
