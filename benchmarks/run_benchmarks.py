@@ -124,6 +124,23 @@ def main():
         ),
     }
 
+    # --- config 4b: stochastic engine on the same large instance ----------
+    from odesat_tpu.models.stoch import init_stoch_state
+    from odesat_tpu.ops.stoch_pallas import make_stream_stoch_chunk
+    from odesat_tpu.utils.timing import measure_throughput
+
+    sb = 2048 if q else 8192
+    schunk = 100 if q else 200
+    sstate = init_stoch_state(fa, sb, jax.random.PRNGKey(0))
+    sfn = jax.jit(make_stream_stoch_chunk(fa, schunk, matmul_dtype="bfloat16"))
+    srunner = lambda st, dev=None: sfn(st)  # noqa: E731
+    srunner(sstate).done.block_until_ready()
+    srate, _ = measure_throughput(srunner, sstate, None, schunk, sb, iters=3)
+    results["configs"]["stoch_random3sat_n1k_stream"] = {
+        "chain_steps_per_sec": srate,
+        "note": "streaming kernel; the scan path tops out ~1.2e5 and OOMs past B=2048",
+    }
+
     # --- config 5: uf250-class --------------------------------------------
     formula = random_ksat(250, 1065, k=3, seed=11, planted=True)
     _, normalized = normalize_cnf_variables(formula)

@@ -121,18 +121,37 @@ def make_stoch_step(fa: FormulaArrays):
     return step
 
 
-def make_stoch_chunk_runner(fa: FormulaArrays, chunk_steps: int, fused: str = "auto"):
-    """fused: "auto" picks the multi-step Pallas kernel on TPU when the
-    formula fits its VMEM envelope (ops/stoch_pallas.py); "on"/"off"
-    force. The kernel's PRNG stream differs from the scan path's
-    jax.random stream (reproducible per seed within one path)."""
+def make_stoch_chunk_runner(
+    fa: FormulaArrays,
+    chunk_steps: int,
+    fused: str = "auto",
+    matmul_dtype: str = "float32",
+):
+    """fused: "auto" picks the multi-step resident Pallas kernel on TPU
+    when the formula fits its VMEM envelope (ops/stoch_pallas.py), then
+    the HBM-streaming variant for larger formulas; "on"/"off" force.
+    The kernels' PRNG stream differs from the scan path's jax.random
+    stream (reproducible per seed within one path)."""
     if fused != "off":
-        from odesat_tpu.ops.stoch_pallas import make_fused_stoch_chunk, stoch_fused_supported
+        from odesat_tpu.ops.stoch_pallas import (
+            make_fused_stoch_chunk,
+            make_stream_stoch_chunk,
+            stoch_fused_supported,
+            stoch_stream_supported,
+        )
 
         if stoch_fused_supported(fa) and (
             fused == "on" or jax.default_backend() == "tpu"
         ):
             return jax.jit(make_fused_stoch_chunk(fa, chunk_steps), donate_argnums=0)
+        itemsize = 2 if matmul_dtype == "bfloat16" else 4
+        if stoch_stream_supported(fa, itemsize) and (
+            fused == "on" or jax.default_backend() == "tpu"
+        ):
+            return jax.jit(
+                make_stream_stoch_chunk(fa, chunk_steps, matmul_dtype=matmul_dtype),
+                donate_argnums=0,
+            )
 
     step = make_stoch_step(fa)
 
@@ -167,7 +186,9 @@ def search(
         key = jax.random.PRNGKey(seed)
 
     state = init_stoch_state(fa, config.batch_size, key)
-    runner = make_stoch_chunk_runner(fa, config.chunk_steps)
+    runner = make_stoch_chunk_runner(
+        fa, config.chunk_steps, matmul_dtype=config.ode.matmul_dtype
+    )
     tail_runner = None
 
     budget = config.ode.steps
@@ -179,7 +200,9 @@ def search(
             break
         if remaining is not None and remaining < config.chunk_steps:
             if tail_runner is None:
-                tail_runner = make_stoch_chunk_runner(fa, remaining)
+                tail_runner = make_stoch_chunk_runner(
+                    fa, remaining, matmul_dtype=config.ode.matmul_dtype
+                )
             state = tail_runner(state)
             steps_run += remaining
         else:

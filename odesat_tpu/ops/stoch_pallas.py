@@ -210,3 +210,297 @@ def make_fused_stoch_chunk(
         )
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# HBM-streaming variant for formulas beyond the resident VMEM envelope
+# ---------------------------------------------------------------------------
+
+from odesat_tpu.ops.stream_pallas import (  # noqa: E402
+    SPAN,
+    _BIAS_ROWS,
+    _GBUF_LIMIT,
+    _G_HBM_LIMIT,
+    _max_kb,
+)
+
+
+def _build_stoch_planes(fa: FormulaArrays, np_dtype):
+    """(P, Np+BIAS, SPAN) planes with polarity baked in: one MXU pass over
+    the augmented 0/1 assignment [v, 1] yields the per-literal truth value
+    directly (positive literal -> +v, negated -> 1 - v, padding -> 0;
+    reference clause walk: src/stoch.rs:20-25). The same plane scatters
+    per-variable weight sums after a per-slot sign correction (the baked
+    q_i squares away: q_i * (q_i * w) = w)."""
+    Np = fa.n_vars_padded
+    npb = Np + _BIAS_ROWS
+    spans = []
+    planes = []
+    for m0, m1, Kb in fa.bucket_slices:
+        for c0 in range(m0, m1, SPAN):
+            spans.append((len(planes), Kb, c0))
+            cols = np.arange(c0, c0 + SPAN)
+            for k in range(Kb):
+                plane = np.zeros((npb, SPAN), dtype=np_dtype)
+                on = fa.lit_mask[k, cols] > 0
+                plane[fa.lit_var[k, cols[on]], np.where(on)[0]] = fa.sign[k, cols[on]]
+                plane[Np, :] = np.where(on & (fa.sign[k, cols] < 0), 1.0, 0.0)
+                planes.append(plane)
+    if not planes:
+        planes = [np.zeros((npb, SPAN), dtype=np_dtype)]
+        spans = [(0, 1, 0)]
+    return np.stack(planes), spans
+
+
+def stoch_stream_supported(fa: FormulaArrays, itemsize: int = 4) -> bool:
+    npb = fa.n_vars_padded + _BIAS_ROWS
+    n_planes = sum(kb * ((m1 - m0) // SPAN) for m0, m1, kb in fa.bucket_slices)
+    gbuf = 2 * _max_kb(fa) * npb * SPAN * itemsize
+    return gbuf <= _GBUF_LIMIT and n_planes * npb * SPAN * itemsize <= _G_HBM_LIMIT
+
+
+def make_stream_stoch_chunk(
+    fa: FormulaArrays,
+    chunk_steps: int,
+    traj_block: int = 256,
+    matmul_dtype: str = "float32",
+    interpret: bool | None = None,
+):
+    """Build ``fn(state: StochState) -> StochState`` advancing every chain
+    ``chunk_steps`` steps with the clause weights xl and the incidence
+    planes streamed from HBM (v/done stay VMEM-resident). Same step
+    semantics as the resident kernel. ``matmul_dtype="bfloat16"`` keeps
+    clause evaluation exact (0/1 values, +-1 planes) but rounds the
+    weight sums to ~8 bits relative — flip probabilities shift slightly,
+    solutions remain oracle-verified."""
+    bf16 = matmul_dtype == "bfloat16"
+    itemsize = 2 if bf16 else 4
+    if not stoch_stream_supported(fa, itemsize):
+        raise ValueError("stoch streaming kernel: plane buffers exceed budget")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    K, Mp = fa.lit_var.shape
+    Np = fa.n_vars_padded
+    Npb = Np + _BIAS_ROWS
+    Kmax = _max_kb(fa)
+    mm_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    mm_precision = None if bf16 else jax.lax.Precision.HIGHEST
+
+    G_np, span_meta = _build_stoch_planes(fa, np.float32)
+    G_host = jnp.asarray(G_np).astype(mm_dtype)
+    sign_host = jnp.asarray(fa.sign.astype(np.float32))  # 0 at padding slots
+    cmask_host = jnp.asarray(fa.clause_mask.astype(np.float32).reshape(1, Mp))
+    has_occ_host = jnp.asarray(
+        (fa.occ_mask.sum(axis=-1) > 0).astype(np.float32).reshape(1, Np)
+    )
+    S = len(span_meta)
+
+    def kernel(seed_ref, v_ref, xl_ref, done_ref,
+               g_ref, sign_ref, cmask_ref, hasocc_ref,
+               v_o, xl_o, done_o,
+               gbuf, iobuf, vaug_ref, total_ref, unsat_ref, sat_ref,
+               gsem, rsem, wsem, csem):
+        i = pl.program_id(0)
+        Bb = v_ref.shape[0]
+        rows = pl.ds(i * Bb, Bb)
+        block_seed = (seed_ref[0] + i * 0x632BE59B).astype(jnp.uint32)
+
+        init_xl = pltpu.make_async_copy(xl_ref.at[rows], xl_o.at[rows], csem.at[0])
+        init_xl.start()
+        init_xl.wait()
+        vaug_ref[:, Np:] = jnp.ones((Bb, _BIAS_ROWS), dtype=mm_dtype)
+
+        def g_dma(s, slot):
+            p0, kb, _ = span_meta[s]
+            return pltpu.make_async_copy(
+                g_ref.at[p0 : p0 + kb], gbuf.at[slot, :kb], gsem.at[slot]
+            )
+
+        def read_dma(s, slot):
+            _, _, c0 = span_meta[s]
+            return pltpu.make_async_copy(
+                xl_o.at[rows, pl.ds(c0, SPAN)], iobuf.at[slot, 0], rsem.at[slot]
+            )
+
+        def write_dma(s, slot):
+            _, _, c0 = span_meta[s]
+            return pltpu.make_async_copy(
+                iobuf.at[slot, 1], xl_o.at[rows, pl.ds(c0, SPAN)], wsem.at[slot]
+            )
+
+        def uniform01(step, shape):
+            r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+            c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+            x = (
+                r * jnp.uint32(0x9E3779B1)
+                ^ c * jnp.uint32(0x85EBCA77)
+                ^ (block_seed + step.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
+            )
+            x = x ^ (x >> 16)
+            x = x * jnp.uint32(0x7FEB352D)
+            x = x ^ (x >> 15)
+            x = x * jnp.uint32(0x846CA68B)
+            x = x ^ (x >> 16)
+            x24 = jax.lax.bitcast_convert_type(x >> 8, jnp.int32)
+            return x24.astype(jnp.float32) * (1.0 / 16777216.0)
+
+        def step(t, _):
+            done = done_o[:]
+            active = done < 0.5
+            v = v_o[:]
+            vaug_ref[:, :Np] = v.astype(mm_dtype)
+            total_ref[:] = jnp.zeros_like(total_ref)
+            unsat_ref[:] = jnp.zeros_like(unsat_ref)
+            sat_ref[:] = jnp.ones_like(sat_ref)
+            g_dma(0, 0).start()
+            read_dma(0, 0).start()
+            for s in range(S):
+                slot = s % 2
+                _, kb, c0 = span_meta[s]
+                if s + 1 < S:
+                    g_dma(s + 1, (s + 1) % 2).start()
+                    read_dma(s + 1, (s + 1) % 2).start()
+                g_dma(s, slot).wait()
+                read_dma(s, slot).wait()
+                xl0 = iobuf[slot, 0]
+                vaug = vaug_ref[:]
+                sat = jnp.zeros((Bb, SPAN), dtype=jnp.float32)
+                for k in range(kb):
+                    lit_true = jnp.dot(
+                        vaug,
+                        gbuf[slot, k],
+                        preferred_element_type=jnp.float32,
+                        precision=mm_precision,
+                    )
+                    sat = jnp.maximum(sat, lit_true)
+                cmask = cmask_ref[:, c0 : c0 + SPAN]
+                xl_new = jnp.where(
+                    sat > 0,
+                    jnp.maximum(xl0 - 1.0, 1.0),
+                    jnp.minimum(xl0 + float(STOCH_ALPHA), XL_CAP),
+                ) * cmask
+                unsat_f = 1.0 - sat
+                for k in range(kb):
+                    wk = xl_new * sign_ref[k : k + 1, c0 : c0 + SPAN]
+                    total_ref[:] = total_ref[:] + jax.lax.dot_general(
+                        wk.astype(mm_dtype),
+                        gbuf[slot, k],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=mm_precision,
+                    )
+                    unsat_ref[:] = unsat_ref[:] + jax.lax.dot_general(
+                        (wk * unsat_f).astype(mm_dtype),
+                        gbuf[slot, k],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=mm_precision,
+                    )
+                span_all = jnp.min(
+                    jnp.where(cmask > 0, sat, 1.0), axis=1, keepdims=True
+                )
+                sat_ref[:] = jnp.minimum(sat_ref[:], span_all)
+                if s >= 2:
+                    write_dma(s - 2, slot).wait()
+                iobuf[slot, 1] = jnp.where(active, xl_new, xl0)
+                write_dma(s, slot).start()
+            u = uniform01(t, (Bb, Np))
+            flip = (u * total_ref[:, :Np] < unsat_ref[:, :Np]) & (hasocc_ref[:] > 0)
+            v_o[:] = jnp.where(active & flip, 1.0 - v, v)
+            done_o[:] = jnp.maximum(done, sat_ref[:])
+            for s in (S - 2, S - 1):
+                if s >= 0:
+                    write_dma(s, s % 2).wait()
+            return 0
+
+        v_o[:] = v_ref[:]
+        done_o[:] = done_ref[:]
+        jax.lax.fori_loop(0, chunk_steps, step, 0)
+
+    def fn(state):
+        from odesat_tpu.models.stoch import StochState
+
+        B_in = state.v.shape[0]
+        Bb = traj_block
+        while Bb > 8 and Bb > B_in:
+            Bb //= 2
+        pad = (-B_in) % Bb
+        v = state.v.astype(jnp.float32)
+        xl = state.xl.astype(jnp.float32)
+        done = state.done.astype(jnp.float32).reshape(B_in, 1)
+        if pad:
+            v = jnp.concatenate([v, jnp.zeros((pad, Np), jnp.float32)], axis=0)
+            xl = jnp.concatenate([xl, jnp.ones((pad, Mp), jnp.float32)], axis=0)
+            done = jnp.concatenate([done, jnp.ones((pad, 1), jnp.float32)], axis=0)
+        B = B_in + pad
+
+        key, sub = jax.random.split(state.key)
+        seed = jax.random.randint(sub, (1,), 0, 2**31 - 1, dtype=jnp.int32).astype(
+            jnp.uint32
+        )
+
+        row_blk = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        const_blk = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+        static_vmem = (
+            2 * Kmax * Npb * SPAN * itemsize
+            + 2 * 2 * Bb * SPAN * 4
+            + Bb * Npb * (itemsize + 8)
+            + 3 * Bb * Np * 4
+            + (K + 2) * Mp * 4
+        )
+        vmem_limit = max(
+            16 * 1024 * 1024, min(int(static_vmem * 1.8), 96 * 1024 * 1024)
+        )
+
+        v_out, xl_out, done_out = pl.pallas_call(
+            kernel,
+            grid=(B // Bb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+                row_blk((Bb, Np)),
+                any_spec,
+                row_blk((Bb, 1)),
+                any_spec,  # planes
+                const_blk((K, Mp)),
+                const_blk((1, Mp)),
+                const_blk((1, Np)),
+            ],
+            out_specs=[row_blk((Bb, Np)), any_spec, row_blk((Bb, 1))],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, Np), jnp.float32),
+                jax.ShapeDtypeStruct((B, Mp), jnp.float32),
+                jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, Kmax, Npb, SPAN), mm_dtype),  # plane stage
+                pltpu.VMEM((2, 2, Bb, SPAN), jnp.float32),  # xl read/write stage
+                pltpu.VMEM((Bb, Npb), mm_dtype),  # augmented assignment [v, 1]
+                pltpu.VMEM((Bb, Npb), jnp.float32),  # total weights
+                pltpu.VMEM((Bb, Npb), jnp.float32),  # unsat weights
+                pltpu.VMEM((Bb, 1), jnp.float32),  # allsat accumulator
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((1,)),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, vmem_limit_bytes=vmem_limit
+            ),
+        )(seed, v, xl, done, G_host, sign_host, cmask_host, has_occ_host)
+
+        return StochState(
+            v=v_out[:B_in] > 0.5,
+            xl=xl_out[:B_in].astype(state.xl.dtype),
+            done=done_out.reshape(B)[:B_in] > 0.5,
+            key=key,
+        )
+
+    return fn
