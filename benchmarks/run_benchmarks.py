@@ -77,8 +77,10 @@ def main():
     fa = compile_formula(normalized)
     ode = ODEConfig(step_size=0.01)
     results["configs"]["easy_single_fixed"] = {
-        "traj_steps_per_sec": throughput(fa, ode, batch=1, chunk=1000),
-        "note": "B=1 is the reference's solve mode; TPU is built for batches",
+        # chunk matches the solver's dispatch-amortization heuristic for
+        # tiny batches (models/ode.py simulate_batch)
+        "traj_steps_per_sec": throughput(fa, ode, batch=1, chunk=1000 if q else 32768),
+        "note": "B=1 is the reference's solve mode; dispatch-amortized chunks",
     }
 
     # --- config 2: small.cnf batch 100 fixed ------------------------------

@@ -407,10 +407,16 @@ def simulate_batch(
         state = init_state(fa, config.batch_size, key, ode, v0=v0)
     dev = formula_device(fa, dtype=_dtype(ode))
 
-    # tiny batches are dispatch-latency bound; amortize with longer chunks
+    # Small batches are dispatch-latency bound (the remote TPU round trip
+    # dwarfs the step cost): grow the chunk toward a constant amount of
+    # dispatched work. Measured on easy.cnf B=1: 5e4 steps/s at
+    # chunk=1000 -> 2e6 at chunk=50000 (early-exit granularity coarsens
+    # accordingly — tens of ms of wasted steps at these rates).
     chunk_steps = config.chunk_steps
-    if config.batch_size < 64 and (ode.steps is None or ode.steps > chunk_steps):
-        chunk_steps = max(chunk_steps, 2048)
+    if config.batch_size < 1024 and (ode.steps is None or ode.steps > chunk_steps):
+        chunk_steps = max(
+            chunk_steps, min(32768, 65536 // max(config.batch_size, 1))
+        )
         if ode.steps is not None:
             chunk_steps = min(chunk_steps, ode.steps)
 
