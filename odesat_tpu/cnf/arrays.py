@@ -106,6 +106,7 @@ def compile_formula(
     var_pad: int = 128,
     bucket: bool = False,
     min_bucket: int = 256,
+    window_sort: bool = False,
 ) -> FormulaArrays:
     """Compile a normalized formula (variables must be dense indices
     ``0..k-1``; see :func:`normalize_cnf_variables`) into padded arrays.
@@ -135,6 +136,17 @@ def compile_formula(
         index_buckets = _make_buckets(widths, min_bucket)
     else:
         index_buckets = [list(range(M))]
+
+    if window_sort:
+        # order clauses inside each bucket by their lowest variable so
+        # consecutive clause spans touch a narrow variable window — the
+        # streaming kernel's per-span windows shrink accordingly on
+        # locally-structured instances (encoder-numbered variables).
+        # Clause order is an internal layout choice (see docstring).
+        index_buckets = [
+            sorted(ix, key=lambda i: min(l.variable for l in formula.clauses[i]))
+            for ix in index_buckets
+        ]
 
     # lay out each bucket as a lane-aligned slice of the clause axis
     bucket_meta = []  # (m0, m1, K_b, clause_indices)

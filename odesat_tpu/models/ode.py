@@ -392,6 +392,7 @@ def simulate_batch(
             clause_pad=config.clause_pad,
             var_pad=config.var_pad,
             bucket=bucket,
+            window_sort=config.window_sort,
         )
     ode = config.ode
     zeta = ode.resolve_zeta(fa.density)

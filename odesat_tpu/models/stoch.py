@@ -178,7 +178,10 @@ def search(
         formula_or_arrays
         if isinstance(formula_or_arrays, FormulaArrays)
         else compile_formula(
-            formula_or_arrays, clause_pad=config.clause_pad, var_pad=config.var_pad
+            formula_or_arrays,
+            clause_pad=config.clause_pad,
+            var_pad=config.var_pad,
+            window_sort=config.window_sort,
         )
     )
     if key is None:

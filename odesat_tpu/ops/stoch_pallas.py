@@ -218,45 +218,59 @@ def make_fused_stoch_chunk(
 
 from odesat_tpu.ops.stream_pallas import (  # noqa: E402
     SPAN,
-    _BIAS_ROWS,
     _GBUF_LIMIT,
     _G_HBM_LIMIT,
     _max_kb,
+    _span_budgets,
 )
 
 
 def _build_stoch_planes(fa: FormulaArrays, np_dtype):
-    """(P, Np+BIAS, SPAN) planes with polarity baked in: one MXU pass over
-    the augmented 0/1 assignment [v, 1] yields the per-literal truth value
-    directly (positive literal -> +v, negated -> 1 - v, padding -> 0;
-    reference clause walk: src/stoch.rs:20-25). The same plane scatters
-    per-variable weight sums after a per-slot sign correction (the baked
-    q_i squares away: q_i * (q_i * w) = w)."""
-    Np = fa.n_vars_padded
-    npb = Np + _BIAS_ROWS
+    """Polarity-baked planes restricted to each span's 128-aligned
+    variable window (same layout as the ODE streaming kernel): one MXU
+    pass over the window of the 0/1 assignment plus a VPU bias add
+    yields the per-literal truth value (positive literal -> +v, negated
+    -> 1 - v via bias 1, padding -> 0; reference clause walk:
+    src/stoch.rs:20-25). The same plane scatters per-variable weight
+    sums after a per-slot sign correction (the baked q_i squares away:
+    q_i * (q_i * w) = w). Returns (G_flat, span_meta, bias) with
+    span_meta = [(row_offset, K_b, W, lo, clause_col_offset), ...]."""
     spans = []
-    planes = []
+    rows = []
+    K, Mp = fa.lit_var.shape
+    bias = np.zeros((K, Mp), dtype=np.float32)
+    row_off = 0
     for m0, m1, Kb in fa.bucket_slices:
         for c0 in range(m0, m1, SPAN):
-            spans.append((len(planes), Kb, c0))
             cols = np.arange(c0, c0 + SPAN)
+            on_any = fa.lit_mask[:Kb, cols] > 0
+            if on_any.any():
+                vs = fa.lit_var[:Kb, cols][on_any]
+                lo = (int(vs.min()) // SPAN) * SPAN
+                hi = -((-(int(vs.max()) + 1)) // SPAN) * SPAN
+            else:
+                lo, hi = 0, SPAN
+            W = hi - lo
+            spans.append((row_off, Kb, W, lo, c0))
             for k in range(Kb):
-                plane = np.zeros((npb, SPAN), dtype=np_dtype)
+                plane = np.zeros((W, SPAN), dtype=np_dtype)
                 on = fa.lit_mask[k, cols] > 0
-                plane[fa.lit_var[k, cols[on]], np.where(on)[0]] = fa.sign[k, cols[on]]
-                plane[Np, :] = np.where(on & (fa.sign[k, cols] < 0), 1.0, 0.0)
-                planes.append(plane)
-    if not planes:
-        planes = [np.zeros((npb, SPAN), dtype=np_dtype)]
-        spans = [(0, 1, 0)]
-    return np.stack(planes), spans
+                plane[fa.lit_var[k, cols[on]] - lo, np.where(on)[0]] = fa.sign[
+                    k, cols[on]
+                ]
+                bias[k, cols] = np.where(on & (fa.sign[k, cols] < 0), 1.0, 0.0)
+                rows.append(plane)
+            row_off += Kb * W
+    if not rows:
+        rows = [np.zeros((SPAN, SPAN), dtype=np_dtype)]
+        spans = [(0, 1, SPAN, 0, 0)]
+    return np.concatenate(rows, axis=0), spans, bias
 
 
 def stoch_stream_supported(fa: FormulaArrays, itemsize: int = 4) -> bool:
-    npb = fa.n_vars_padded + _BIAS_ROWS
-    n_planes = sum(kb * ((m1 - m0) // SPAN) for m0, m1, kb in fa.bucket_slices)
-    gbuf = 2 * _max_kb(fa) * npb * SPAN * itemsize
-    return gbuf <= _GBUF_LIMIT and n_planes * npb * SPAN * itemsize <= _G_HBM_LIMIT
+    max_rows, total_rows = _span_budgets(fa)
+    gbuf = 2 * max_rows * SPAN * itemsize
+    return gbuf <= _GBUF_LIMIT and total_rows * SPAN * itemsize <= _G_HBM_LIMIT
 
 
 def make_stream_stoch_chunk(
@@ -282,13 +296,14 @@ def make_stream_stoch_chunk(
 
     K, Mp = fa.lit_var.shape
     Np = fa.n_vars_padded
-    Npb = Np + _BIAS_ROWS
     Kmax = _max_kb(fa)
     mm_dtype = jnp.bfloat16 if bf16 else jnp.float32
     mm_precision = None if bf16 else jax.lax.Precision.HIGHEST
 
-    G_np, span_meta = _build_stoch_planes(fa, np.float32)
+    G_np, span_meta, bias_np = _build_stoch_planes(fa, np.float32)
     G_host = jnp.asarray(G_np).astype(mm_dtype)
+    bias_host = jnp.asarray(bias_np)
+    max_group_rows = max(kb * w for _, kb, w, _, _ in span_meta)
     sign_host = jnp.asarray(fa.sign.astype(np.float32))  # 0 at padding slots
     cmask_host = jnp.asarray(fa.clause_mask.astype(np.float32).reshape(1, Mp))
     has_occ_host = jnp.asarray(
@@ -297,9 +312,9 @@ def make_stream_stoch_chunk(
     S = len(span_meta)
 
     def kernel(seed_ref, v_ref, xl_ref, done_ref,
-               g_ref, sign_ref, cmask_ref, hasocc_ref,
+               g_ref, bias_ref, sign_ref, cmask_ref, hasocc_ref,
                v_o, xl_o, done_o,
-               gbuf, iobuf, vaug_ref, total_ref, unsat_ref, sat_ref,
+               gbuf, iobuf, v16_ref, total_ref, unsat_ref, sat_ref,
                gsem, rsem, wsem, csem):
         i = pl.program_id(0)
         Bb = v_ref.shape[0]
@@ -309,22 +324,21 @@ def make_stream_stoch_chunk(
         init_xl = pltpu.make_async_copy(xl_ref.at[rows], xl_o.at[rows], csem.at[0])
         init_xl.start()
         init_xl.wait()
-        vaug_ref[:, Np:] = jnp.ones((Bb, _BIAS_ROWS), dtype=mm_dtype)
 
         def g_dma(s, slot):
-            p0, kb, _ = span_meta[s]
+            r0, kb, w, _, _ = span_meta[s]
             return pltpu.make_async_copy(
-                g_ref.at[p0 : p0 + kb], gbuf.at[slot, :kb], gsem.at[slot]
+                g_ref.at[r0 : r0 + kb * w], gbuf.at[slot, : kb * w], gsem.at[slot]
             )
 
         def read_dma(s, slot):
-            _, _, c0 = span_meta[s]
+            c0 = span_meta[s][4]
             return pltpu.make_async_copy(
                 xl_o.at[rows, pl.ds(c0, SPAN)], iobuf.at[slot, 0], rsem.at[slot]
             )
 
         def write_dma(s, slot):
-            _, _, c0 = span_meta[s]
+            c0 = span_meta[s][4]
             return pltpu.make_async_copy(
                 iobuf.at[slot, 1], xl_o.at[rows, pl.ds(c0, SPAN)], wsem.at[slot]
             )
@@ -349,7 +363,7 @@ def make_stream_stoch_chunk(
             done = done_o[:]
             active = done < 0.5
             v = v_o[:]
-            vaug_ref[:, :Np] = v.astype(mm_dtype)
+            v16_ref[:] = v.astype(mm_dtype)
             total_ref[:] = jnp.zeros_like(total_ref)
             unsat_ref[:] = jnp.zeros_like(unsat_ref)
             sat_ref[:] = jnp.ones_like(sat_ref)
@@ -357,22 +371,22 @@ def make_stream_stoch_chunk(
             read_dma(0, 0).start()
             for s in range(S):
                 slot = s % 2
-                _, kb, c0 = span_meta[s]
+                _, kb, w, lo, c0 = span_meta[s]
                 if s + 1 < S:
                     g_dma(s + 1, (s + 1) % 2).start()
                     read_dma(s + 1, (s + 1) % 2).start()
                 g_dma(s, slot).wait()
                 read_dma(s, slot).wait()
                 xl0 = iobuf[slot, 0]
-                vaug = vaug_ref[:]
+                vwin = v16_ref[:, lo : lo + w]
                 sat = jnp.zeros((Bb, SPAN), dtype=jnp.float32)
                 for k in range(kb):
                     lit_true = jnp.dot(
-                        vaug,
-                        gbuf[slot, k],
+                        vwin,
+                        gbuf[slot, k * w : (k + 1) * w],
                         preferred_element_type=jnp.float32,
                         precision=mm_precision,
-                    )
+                    ) + bias_ref[k : k + 1, c0 : c0 + SPAN]
                     sat = jnp.maximum(sat, lit_true)
                 cmask = cmask_ref[:, c0 : c0 + SPAN]
                 xl_new = jnp.where(
@@ -383,16 +397,20 @@ def make_stream_stoch_chunk(
                 unsat_f = 1.0 - sat
                 for k in range(kb):
                     wk = xl_new * sign_ref[k : k + 1, c0 : c0 + SPAN]
-                    total_ref[:] = total_ref[:] + jax.lax.dot_general(
+                    total_ref[:, lo : lo + w] = total_ref[
+                        :, lo : lo + w
+                    ] + jax.lax.dot_general(
                         wk.astype(mm_dtype),
-                        gbuf[slot, k],
+                        gbuf[slot, k * w : (k + 1) * w],
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=mm_precision,
                     )
-                    unsat_ref[:] = unsat_ref[:] + jax.lax.dot_general(
+                    unsat_ref[:, lo : lo + w] = unsat_ref[
+                        :, lo : lo + w
+                    ] + jax.lax.dot_general(
                         (wk * unsat_f).astype(mm_dtype),
-                        gbuf[slot, k],
+                        gbuf[slot, k * w : (k + 1) * w],
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=mm_precision,
@@ -406,7 +424,7 @@ def make_stream_stoch_chunk(
                 iobuf[slot, 1] = jnp.where(active, xl_new, xl0)
                 write_dma(s, slot).start()
             u = uniform01(t, (Bb, Np))
-            flip = (u * total_ref[:, :Np] < unsat_ref[:, :Np]) & (hasocc_ref[:] > 0)
+            flip = (u * total_ref[:] < unsat_ref[:]) & (hasocc_ref[:] > 0)
             v_o[:] = jnp.where(active & flip, 1.0 - v, v)
             done_o[:] = jnp.maximum(done, sat_ref[:])
             for s in (S - 2, S - 1):
@@ -449,11 +467,11 @@ def make_stream_stoch_chunk(
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
         static_vmem = (
-            2 * Kmax * Npb * SPAN * itemsize
+            2 * max_group_rows * SPAN * itemsize
             + 2 * 2 * Bb * SPAN * 4
-            + Bb * Npb * (itemsize + 8)
+            + Bb * Np * (itemsize + 8)
             + 3 * Bb * Np * 4
-            + (K + 2) * Mp * 4
+            + (2 * K + 2) * Mp * 4
         )
         vmem_limit = max(
             16 * 1024 * 1024, min(int(static_vmem * 1.8), 96 * 1024 * 1024)
@@ -468,7 +486,8 @@ def make_stream_stoch_chunk(
                 any_spec,
                 row_blk((Bb, 1)),
                 any_spec,  # planes
-                const_blk((K, Mp)),
+                const_blk((K, Mp)),  # bias
+                const_blk((K, Mp)),  # signs
                 const_blk((1, Mp)),
                 const_blk((1, Np)),
             ],
@@ -479,11 +498,11 @@ def make_stream_stoch_chunk(
                 jax.ShapeDtypeStruct((B, 1), jnp.float32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, Kmax, Npb, SPAN), mm_dtype),  # plane stage
+                pltpu.VMEM((2, max_group_rows, SPAN), mm_dtype),  # plane stage
                 pltpu.VMEM((2, 2, Bb, SPAN), jnp.float32),  # xl read/write stage
-                pltpu.VMEM((Bb, Npb), mm_dtype),  # augmented assignment [v, 1]
-                pltpu.VMEM((Bb, Npb), jnp.float32),  # total weights
-                pltpu.VMEM((Bb, Npb), jnp.float32),  # unsat weights
+                pltpu.VMEM((Bb, Np), mm_dtype),  # matmul-dtype assignment copy
+                pltpu.VMEM((Bb, Np), jnp.float32),  # total weights
+                pltpu.VMEM((Bb, Np), jnp.float32),  # unsat weights
                 pltpu.VMEM((Bb, 1), jnp.float32),  # allsat accumulator
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -494,7 +513,7 @@ def make_stream_stoch_chunk(
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True, vmem_limit_bytes=vmem_limit
             ),
-        )(seed, v, xl, done, G_host, sign_host, cmask_host, has_occ_host)
+        )(seed, v, xl, done, G_host, bias_host, sign_host, cmask_host, has_occ_host)
 
         return StochState(
             v=v_out[:B_in] > 0.5,

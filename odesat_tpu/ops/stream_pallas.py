@@ -75,27 +75,66 @@ _G_HBM_LIMIT = 2 * 1024 * 1024 * 1024  # plane array HBM budget
 
 
 def _build_planes(fa: FormulaArrays, np_dtype):
-    """Pack the incidence into (P, Np+BIAS, SPAN) sign-baked planes plus
-    static span metadata [(plane_offset, K_b, clause_col_offset), ...].
-    Planes of one span are consecutive so a span is a single DMA."""
+    """Pack the incidence into sign-baked planes restricted to each
+    span's 128-aligned *variable window* [lo, hi), flattened row-wise
+    into one (R, SPAN) array (planes of one span are consecutive so a
+    span is a single DMA). Returns (G_flat, span_meta, bias) with
+    span_meta = [(row_offset, K_b, W, lo, clause_col_offset), ...] and
+    bias: (K, Mp) f32 = 1 for real slots, 1 + BIG for padding (added on
+    the VPU so padded slots lose every min). On locally-structured
+    instances (window-sorted clause layout, see compile_formula
+    window_sort) W << Np and the MXU/DMA cost shrinks by Np/W; on
+    random instances W ~= Np and this degrades to full planes."""
     Np = fa.n_vars_padded
-    npb = Np + _BIAS_ROWS
+    K, Mp = fa.lit_var.shape
     spans = []
-    planes = []
+    rows = []
+    bias = np.full((K, Mp), 1.0 + _BIG, dtype=np.float32)
+    row_off = 0
     for m0, m1, Kb in fa.bucket_slices:
         for c0 in range(m0, m1, SPAN):
-            spans.append((len(planes), Kb, c0))
             cols = np.arange(c0, c0 + SPAN)
+            on_any = fa.lit_mask[:Kb, cols] > 0
+            if on_any.any():
+                vs = fa.lit_var[:Kb, cols][on_any]
+                lo = (int(vs.min()) // SPAN) * SPAN
+                hi = -((-(int(vs.max()) + 1)) // SPAN) * SPAN
+            else:
+                lo, hi = 0, SPAN
+            W = hi - lo
+            spans.append((row_off, Kb, W, lo, c0))
             for k in range(Kb):
-                plane = np.zeros((npb, SPAN), dtype=np_dtype)
+                plane = np.zeros((W, SPAN), dtype=np_dtype)
                 on = fa.lit_mask[k, cols] > 0
-                plane[fa.lit_var[k, cols[on]], np.where(on)[0]] = -fa.sign[k, cols[on]]
-                plane[Np, :] = 1.0 + _BIG * (1.0 - on)
-                planes.append(plane)
-    if not planes:
-        planes = [np.zeros((npb, SPAN), dtype=np_dtype)]
-        spans = [(0, 1, 0)]
-    return np.stack(planes), spans
+                plane[fa.lit_var[k, cols[on]] - lo, np.where(on)[0]] = -fa.sign[
+                    k, cols[on]
+                ]
+                bias[k, cols[on]] = 1.0
+                rows.append(plane)
+            row_off += Kb * W
+    if not rows:
+        rows = [np.zeros((SPAN, SPAN), dtype=np_dtype)]
+        spans = [(0, 1, SPAN, 0, 0)]
+    return np.concatenate(rows, axis=0), spans, bias
+
+
+def _span_budgets(fa: FormulaArrays):
+    """(max plane-group rows, total plane rows) of the windowed layout."""
+    max_rows = 0
+    total = 0
+    for m0, m1, Kb in fa.bucket_slices:
+        for c0 in range(m0, m1, SPAN):
+            cols = np.arange(c0, c0 + SPAN)
+            on = fa.lit_mask[:Kb, cols] > 0
+            if on.any():
+                vs = fa.lit_var[:Kb, cols][on]
+                lo = (int(vs.min()) // SPAN) * SPAN
+                hi = -((-(int(vs.max()) + 1)) // SPAN) * SPAN
+            else:
+                lo, hi = 0, SPAN
+            max_rows = max(max_rows, Kb * (hi - lo))
+            total += Kb * (hi - lo)
+    return max(max_rows, SPAN), max(total, SPAN)
 
 
 def _max_kb(fa: FormulaArrays) -> int:
@@ -108,10 +147,9 @@ def stream_supported(fa: FormulaArrays, itemsize: int = 4) -> bool:
     / plane array fit their budgets."""
     if fa.min_width < 2:
         return False
-    npb = fa.n_vars_padded + _BIAS_ROWS
-    n_planes = sum(kb * ((m1 - m0) // SPAN) for m0, m1, kb in fa.bucket_slices)
-    gbuf = 2 * _max_kb(fa) * npb * SPAN * itemsize
-    g_hbm = n_planes * npb * SPAN * itemsize
+    max_rows, total_rows = _span_budgets(fa)
+    gbuf = 2 * max_rows * SPAN * itemsize
+    g_hbm = total_rows * SPAN * itemsize
     return gbuf <= _GBUF_LIMIT and g_hbm <= _G_HBM_LIMIT
 
 
@@ -143,7 +181,6 @@ def make_stream_chunk(
 
     K, Mp = fa.lit_var.shape
     Np = fa.n_vars_padded
-    Npb = Np + _BIAS_ROWS
     Kmax = _max_kb(fa)
     paper = ode.rigidity == "paper"
     fixed = ode.step_size is not None
@@ -158,23 +195,25 @@ def make_stream_chunk(
     # path is matmul_dtype="bfloat16" where single-pass is the point.
     mm_precision = None if bf16 else jax.lax.Precision.HIGHEST
 
-    G_np, span_meta = _build_planes(fa, np.float32)
+    G_np, span_meta, bias_np = _build_planes(fa, np.float32)
     G_host = jnp.asarray(G_np).astype(mm_dtype)
+    bias_host = jnp.asarray(bias_np)
     cmask_host = jnp.asarray(fa.clause_mask.astype(np.float32).reshape(1, Mp))
     S = len(span_meta)
+    max_group_rows = max(kb * w for _, kb, w, _, _ in span_meta)
 
     def kernel(*refs):
         if fixed:
             (v_ref, xs_ref, xl_ref, dt_ref, done_ref,
-             g_ref, cmask_ref,
+             g_ref, bias_ref, cmask_ref,
              v_o, xs_o, xl_o, dt_o, done_o,
-             gbuf, iobuf, vals_ref, vaug_ref, dv_ref, sat_ref,
+             gbuf, iobuf, vals_ref, v16_ref, dv_ref, sat_ref,
              gsem, rsem, wsem, csem) = refs
         else:
             (v_ref, xs_ref, xl_ref, dt_ref, done_ref,
-             g_ref, cmask_ref,
+             g_ref, bias_ref, cmask_ref,
              v_o, xs_o, xl_o, dt_o, done_o, xsh_o, xlh_o, xsf_o, xlf_o,
-             gbuf, iobuf, vals_ref, vaug_ref, dv_ref, sat_ref, err_ref,
+             gbuf, iobuf, vals_ref, v16_ref, dv_ref, sat_ref, err_ref,
              gsem, rsem, wsem, csem) = refs
 
         i = pl.program_id(0)
@@ -192,21 +231,18 @@ def make_stream_chunk(
         init_xs.wait()
         init_xl.wait()
 
-        # augmented-state bias lanes never change across steps
-        vaug_ref[:, Np:] = jnp.ones((Bb, _BIAS_ROWS), dtype=mm_dtype)
-
         # ---- static span DMA plumbing -----------------------------------
         # iobuf layout (per slot): channel 0/1 = xs/xl read stage,
         # channel 2/3 = xs/xl write stage; adaptive adds 4/5 = xs/xl
         # original read stage and 6/7 = xs_f/xl_f read stage in pass 2.
         def g_dma(s, slot):
-            p0, kb, _ = span_meta[s]
+            r0, kb, w, _, _ = span_meta[s]
             return pltpu.make_async_copy(
-                g_ref.at[p0 : p0 + kb], gbuf.at[slot, :kb], gsem.at[slot]
+                g_ref.at[r0 : r0 + kb * w], gbuf.at[slot, : kb * w], gsem.at[slot]
             )
 
         def read_dma(src, s, slot, channel, sem_idx):
-            _, _, c0 = span_meta[s]
+            c0 = span_meta[s][4]
             return pltpu.make_async_copy(
                 src.at[rows, pl.ds(c0, SPAN)],
                 iobuf.at[slot, channel],
@@ -214,7 +250,7 @@ def make_stream_chunk(
             )
 
         def write_dma(dst, s, slot, channel, sem_idx):
-            _, _, c0 = span_meta[s]
+            c0 = span_meta[s][4]
             return pltpu.make_async_copy(
                 iobuf.at[slot, channel],
                 dst.at[rows, pl.ds(c0, SPAN)],
@@ -227,16 +263,16 @@ def make_stream_chunk(
             values are staged in fixed scratch (vals_ref) so the fully
             unrolled span loop doesn't accumulate live temporaries
             (Mosaic stack-allocates; 50 spans of live tiles OOM VMEM)."""
-            _, kb, c0 = span_meta[s]
-            vaug = vaug_ref[:]
+            _, kb, w, lo, c0 = span_meta[s]
+            vwin = v16_ref[:, lo : lo + w]
             m1 = m2 = None
             for k in range(kb):
                 valk = jnp.dot(
-                    vaug,
-                    gbuf[slot, k],
+                    vwin,
+                    gbuf[slot, k * w : (k + 1) * w],
                     preferred_element_type=jnp.float32,
                     precision=mm_precision,
-                )
+                ) + bias_ref[k : k + 1, c0 : c0 + SPAN]
                 if m1 is None:
                     m1 = valk
                     m2 = jnp.full(valk.shape, _INF, dtype=jnp.float32)
@@ -249,7 +285,7 @@ def make_stream_chunk(
             # sign-baked planes' -q_i so the scatter lands as +q_i/2 * (.)
             a = -0.5 * (xl * xs)
             b = -0.5 * ((1.0 + zeta_c * xl) * (1.0 - xs))
-            dv = jnp.zeros((Bb, Npb), dtype=jnp.float32)
+            dv = jnp.zeros((Bb, w), dtype=jnp.float32)
             for k in range(kb):
                 valk = vals_ref[k]
                 is_min = valk <= m1
@@ -258,7 +294,7 @@ def make_stream_chunk(
                 contrib = a * minx + b * (valk * gate.astype(jnp.float32))
                 dv = dv + jax.lax.dot_general(
                     contrib.astype(mm_dtype),
-                    gbuf[slot, k],
+                    gbuf[slot, k * w : (k + 1) * w],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=mm_precision,
@@ -288,7 +324,7 @@ def make_stream_chunk(
                 done = done_o[:]
                 dt_col = jnp.where(done < 0.5, dt_fixed, 0.0)
                 v = v_o[:]
-                vaug_ref[:, :Np] = v.astype(mm_dtype)
+                v16_ref[:] = v.astype(mm_dtype)
                 dv_ref[:] = jnp.zeros_like(dv_ref)
                 sat_ref[:] = jnp.ones_like(sat_ref)
                 g_dma(0, 0).start()
@@ -307,7 +343,8 @@ def make_stream_chunk(
                     xs = iobuf[slot, 0]
                     xl = iobuf[slot, 1]
                     dv, dxs, dxl, span_sat = span_terms(s, slot, xs, xl)
-                    dv_ref[:] = dv_ref[:] + dv
+                    _, _, w_s, lo_s, _ = span_meta[s]
+                    dv_ref[:, lo_s : lo_s + w_s] = dv_ref[:, lo_s : lo_s + w_s] + dv
                     sat_ref[:] = jnp.minimum(sat_ref[:], span_sat)
                     if s >= 2:
                         write_dma(xs_o, s - 2, slot, 2, slot * 2).wait()
@@ -316,7 +353,7 @@ def make_stream_chunk(
                     iobuf[slot, 3] = clamp_xl(xl + dt_col * dxl)
                     write_dma(xs_o, s, slot, 2, slot * 2).start()
                     write_dma(xl_o, s, slot, 3, 1 + slot * 2).start()
-                v_o[:] = clamp_v(v + dt_col * dv_ref[:, :Np])
+                v_o[:] = clamp_v(v + dt_col * dv_ref[:])
                 done_o[:] = jnp.maximum(done, sat_ref[:])
                 # drain trailing span writes before the next step reads
                 for s in (S - 2, S - 1):
@@ -337,7 +374,7 @@ def make_stream_chunk(
                 # resident fused kernel's advance gating.
                 dt_col = jnp.where(done < 0.5, dt, 0.0)
                 v = v_o[:]
-                vaug_ref[:, :Np] = v.astype(mm_dtype)
+                v16_ref[:] = v.astype(mm_dtype)
 
                 # ---- pass 1: RHS at (v, xs, xl); stage h and f states —
                 dv_ref[:] = jnp.zeros_like(dv_ref)
@@ -358,7 +395,8 @@ def make_stream_chunk(
                     xs = iobuf[slot, 0]
                     xl = iobuf[slot, 1]
                     dv, dxs, dxl, span_sat = span_terms(s, slot, xs, xl)
-                    dv_ref[:] = dv_ref[:] + dv
+                    _, _, w_s, lo_s, _ = span_meta[s]
+                    dv_ref[:, lo_s : lo_s + w_s] = dv_ref[:, lo_s : lo_s + w_s] + dv
                     sat_ref[:] = jnp.minimum(sat_ref[:], span_sat)
                     # stage: channel 2=xs_h, 3=xl_h, 4=xs_f, 5=xl_f
                     if s >= 2:
@@ -386,9 +424,9 @@ def make_stream_chunk(
                 advance = jnp.where(
                     (done < 0.5) & (allsat < 0.5), 1.0, 0.0
                 )  # src/system.rs:122
-                vh = clamp_v(v + 0.5 * dt_col * dv_ref[:, :Np])
-                vf = clamp_v(v + dt_col * dv_ref[:, :Np])
-                vaug_ref[:, :Np] = vh.astype(mm_dtype)
+                vh = clamp_v(v + 0.5 * dt_col * dv_ref[:])
+                vf = clamp_v(v + dt_col * dv_ref[:])
+                v16_ref[:] = vh.astype(mm_dtype)
 
                 # ---- pass 2: RHS at (vh, xs_h, xl_h); trial state, error
                 # norm, and commit.
@@ -427,7 +465,8 @@ def make_stream_chunk(
                     xsf = iobuf[slot, 6]
                     xlf = iobuf[slot, 7]
                     dv2, dxs2, dxl2, _ = span_terms(s, slot, xsh, xlh)
-                    dv_ref[:] = dv_ref[:] + dv2
+                    _, _, w_s, lo_s, _ = span_meta[s]
+                    dv_ref[:, lo_s : lo_s + w_s] = dv_ref[:, lo_s : lo_s + w_s] + dv2
                     txs = clamp_xs(xsh + 0.5 * dt_col * dxs2)
                     txl = clamp_xl(xlh + 0.5 * dt_col * dxl2)
                     err_span = jnp.maximum(
@@ -448,7 +487,7 @@ def make_stream_chunk(
                         write_dma(xs_o, s, slot, 2, slot * 2).wait()
                         write_dma(xl_o, s, slot, 3, 1 + slot * 2).wait()
 
-                tv = clamp_v(vh + 0.5 * dt_col * dv_ref[:, :Np])
+                tv = clamp_v(vh + 0.5 * dt_col * dv_ref[:])
                 err = jnp.maximum(
                     err_ref[:], jnp.max(jnp.abs(vf - tv), axis=1, keepdims=True)
                 )
@@ -514,11 +553,11 @@ def make_stream_chunk(
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
         ]
         scratch = [
-            pltpu.VMEM((2, Kmax, Npb, SPAN), mm_dtype),  # plane stage
+            pltpu.VMEM((2, max_group_rows, SPAN), mm_dtype),  # plane stage
             pltpu.VMEM((2, n_io_channels, Bb, SPAN), jnp.float32),  # xs/xl stage
             pltpu.VMEM((Kmax, Bb, SPAN), jnp.float32),  # per-slot clause values
-            pltpu.VMEM((Bb, Npb), mm_dtype),  # augmented state [v, 1]
-            pltpu.VMEM((Bb, Npb), jnp.float32),  # dv accumulator
+            pltpu.VMEM((Bb, Np), mm_dtype),  # matmul-dtype state copy
+            pltpu.VMEM((Bb, Np), jnp.float32),  # dv accumulator
             pltpu.VMEM((Bb, 1), jnp.float32),  # allsat accumulator
         ]
         n_rsem = 6 if fixed else 20
@@ -538,16 +577,16 @@ def make_stream_chunk(
         # headroom beyond it; request what the buffers + unrolled-loop
         # temporaries actually need (measured ~1.3x the static buffers).
         static_vmem = (
-            2 * Kmax * Npb * SPAN * itemsize  # plane stage
+            2 * max_group_rows * SPAN * itemsize  # plane stage
             + 2 * n_io_channels * Bb * SPAN * 4
             + Kmax * Bb * SPAN * 4
-            + Bb * Npb * (itemsize + 4)
+            + Bb * Np * (itemsize + 4)
             + 3 * Bb * Np * 4  # v in/out blocks + pipeline copy
-            + 2 * Mp * 4
+            + (K + 1) * Mp * 4
         )
         vmem_limit = max(16 * 1024 * 1024, min(int(static_vmem * 1.8), 96 * 1024 * 1024))
 
-        n_slots = sum(kb * SPAN for _, kb, _ in span_meta)
+        n_window_flops = sum(kb * w * SPAN for _, kb, w, _, _ in span_meta)
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -558,6 +597,7 @@ def make_stream_chunk(
                 row_blk((Bb, 1)),
                 row_blk((Bb, 1)),
                 any_spec,
+                const_blk((K, Mp)),
                 const_blk((1, Mp)),
             ],
             out_specs=out_specs,
@@ -568,14 +608,14 @@ def make_stream_chunk(
                 has_side_effects=True, vmem_limit_bytes=vmem_limit
             ),
             cost_estimate=pl.CostEstimate(
-                flops=4 * n_slots * B * Npb * chunk_steps * (1 if fixed else 2),
+                flops=4 * n_window_flops * B * chunk_steps * (1 if fixed else 2),
                 bytes_accessed=(B // Bb)
                 * chunk_steps
                 * (1 if fixed else 2)
                 * (G_host.size * G_host.dtype.itemsize + 4 * Bb * Mp * 4),
                 transcendentals=0,
             ),
-        )(state.v, state.xs, state.xl, dt_col, done_col, G_host, cmask_host)
+        )(state.v, state.xs, state.xl, dt_col, done_col, G_host, bias_host, cmask_host)
         v, xs, xl, dt_out, done_out = outs[:5]
 
         return ODEState(

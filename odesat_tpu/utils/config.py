@@ -73,6 +73,12 @@ class SolverConfig:
     # clauses by width so mixed-width formulas (preprocessing emits wide
     # resolvents) don't pay max clause width on every clause
     bucket: str = "auto"
+    # order clauses (within width buckets) by lowest variable so the
+    # streaming kernel's per-span variable windows tighten on
+    # locally-structured instances (encoder-numbered CNFs): measured 10x
+    # plane-size cut on locality-256 n=4096 random 3-SAT. Clause order is
+    # an internal layout choice — harmless for every other path.
+    window_sort: bool = True
     checkpoint_path: Optional[str] = None  # optional state snapshot between chunks
     checkpoint_every_chunks: int = 0  # 0 => disabled
     resume_from: Optional[str] = None  # resume a solve from a snapshot (.npz)

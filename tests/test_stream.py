@@ -128,3 +128,26 @@ def test_stream_runner_integration():
     dev = formula_device(fa)
     out = runner(state, dev)
     assert np.isfinite(np.asarray(out.v)).all()
+
+
+def test_stream_windowed_locality():
+    """window_sort + locally-structured clauses -> narrow per-span
+    variable windows; parity with the scan path must hold."""
+    from odesat_tpu.ops.stream_pallas import _build_planes, _span_budgets
+    from odesat_tpu.utils.generate import random_local_ksat
+
+    formula = random_local_ksat(512, 1536, k=3, locality=64, seed=2)
+    _, normalized = normalize_cnf_variables(formula)
+    fa = compile_formula(normalized, window_sort=True)
+    max_rows, total_rows = _span_budgets(fa)
+    # windows must be far narrower than the padded variable count
+    _, spans, _ = _build_planes(fa, np.float32)
+    widths = [w for _, _, w, _, _ in spans]
+    assert max(widths) <= 384 < fa.n_vars_padded
+
+    ode = ODEConfig(step_size=0.02, dv_strategy="gather")
+    state0 = init_state(fa, 8, jax.random.PRNGKey(2), ode)
+    ref = _scan(fa, ode, state0, 10, 0.05)
+    out = make_stream_chunk(fa, 0.05, ode, 10, interpret=True)(state0)
+    np.testing.assert_allclose(np.asarray(out.v), np.asarray(ref.v), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.xs), np.asarray(ref.xs), rtol=2e-4, atol=2e-5)
