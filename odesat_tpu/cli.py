@@ -33,6 +33,7 @@ import numpy as np
 from odesat_tpu.cnf import (
     evaluate_cnf,
     map_values_by_indices,
+    bandwidth_reorder,
     normalize_cnf_variables,
     parse_dimacs_file,
     render_variable_map,
@@ -53,6 +54,14 @@ def _add_common(p: argparse.ArgumentParser, batch_required: bool = False) -> Non
         default="auto",
     )
     p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
+    p.add_argument(
+        "--var-order",
+        choices=["natural", "bandwidth"],
+        default="natural",
+        help="variable layout: 'bandwidth' relabels via reverse Cuthill-McKee "
+        "to tighten the streaming kernel's per-span variable windows on "
+        "instances without native index locality",
+    )
     p.add_argument(
         "--matmul-dtype",
         choices=["float32", "bfloat16"],
@@ -181,6 +190,8 @@ def cmd_solve(args) -> int:
     reduced, trace = preprocess_formula(formula, config.ctv_ratio)
     print(f"Clauses: {reduced.num_clauses} | Vars: {reduced.varnum}")
     var_mapping, normalized = normalize_cnf_variables(reduced)
+    if args.var_order == "bandwidth":
+        var_mapping, normalized = bandwidth_reorder(var_mapping, normalized)
 
     print("Simulating...")
     from odesat_tpu.models.ode import simulate_batch
@@ -203,6 +214,8 @@ def cmd_stoch(args) -> int:
     reduced, trace = preprocess_formula(formula, config.ctv_ratio)
     print(f"Clauses: {reduced.num_clauses} | Vars: {reduced.varnum}")
     var_mapping, normalized = normalize_cnf_variables(reduced)
+    if args.var_order == "bandwidth":
+        var_mapping, normalized = bandwidth_reorder(var_mapping, normalized)
 
     print("Simulating...")
     from odesat_tpu.models.stoch import search
@@ -223,6 +236,8 @@ def cmd_batch(args) -> int:
 
     print("Normalizing CNF formula...")
     var_mapping, normalized = normalize_cnf_variables(formula)
+    if args.var_order == "bandwidth":
+        var_mapping, normalized = bandwidth_reorder(var_mapping, normalized)
 
     print("Simulating...")
     from odesat_tpu.cnf.arrays import compile_formula
@@ -270,6 +285,8 @@ def cmd_inter(args) -> int:
 
     print("Normalizing CNF formula...")
     var_mapping, normalized = normalize_cnf_variables(formula)
+    if args.var_order == "bandwidth":
+        var_mapping, normalized = bandwidth_reorder(var_mapping, normalized)
 
     print("Simulating...")
     from odesat_tpu.models.ode import simulate_batch

@@ -7,6 +7,7 @@ from odesat_tpu.cnf.evaluate import evaluate_clauses, evaluate_cnf, render_varia
 from odesat_tpu.cnf.formula import CNFFormula, Literal
 from odesat_tpu.cnf.normalize import (
     apply_variable_mapping,
+    bandwidth_reorder,
     map_values_by_indices,
     normalize_cnf_variables,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "compile_formula",
     "evaluate_clauses",
     "evaluate_cnf",
+    "bandwidth_reorder",
     "map_values_by_indices",
     "normalize_cnf_variables",
     "parse_dimacs",

@@ -43,6 +43,50 @@ def normalize_cnf_variables(formula: CNFFormula):
     return name_map, apply_variable_mapping(name_map, formula)
 
 
+def bandwidth_reorder(name_map: dict, formula: CNFFormula):
+    """Relabel a *normalized* formula's variables with a reverse
+    Cuthill-McKee order over the variable co-occurrence graph, composing
+    the permutation into ``name_map`` so solution readout is unchanged.
+
+    Purpose: the streaming kernels' per-span variable windows
+    (ops/stream_pallas.py) only tighten when clauses touch nearby
+    variable indices. Encoder-generated CNFs usually have that locality
+    natively; RCM recovers it for instances whose numbering was
+    scrambled. No reference counterpart (the reference has no layout
+    notion); purely an internal relabeling — verified solutions map back
+    through the composed ``name_map`` exactly as before."""
+    used = sorted({lit.variable for clause in formula.clauses for lit in clause})
+    adj = {v: set() for v in used}
+    for clause in formula.clauses:
+        vs = [lit.variable for lit in clause]
+        for i, a in enumerate(vs):
+            for b in vs[i + 1 :]:
+                if a != b:
+                    adj[a].add(b)
+                    adj[b].add(a)
+    degree = {v: len(adj[v]) for v in used}
+
+    visited = set()
+    order = []
+    remaining = sorted(used, key=lambda v: (degree[v], v))
+    for start in remaining:
+        if start in visited:
+            continue
+        queue = [start]
+        visited.add(start)
+        while queue:
+            v = queue.pop(0)
+            order.append(v)
+            for nb in sorted(adj[v], key=lambda u: (degree[u], u)):
+                if nb not in visited:
+                    visited.add(nb)
+                    queue.append(nb)
+    order.reverse()
+    perm = {old: new for new, old in enumerate(order)}
+    new_map = {name: perm[idx] for name, idx in name_map.items() if idx in perm}
+    return new_map, apply_variable_mapping(perm, formula)
+
+
 def map_values_by_indices(indices_map: dict, values) -> dict:
     """Compose a name map with an indexed solution vector back to original
     names (reference: src/cnf.rs:301-315). Indices out of range are
