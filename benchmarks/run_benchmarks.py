@@ -156,6 +156,31 @@ def main():
         ),
     }
 
+    # --- config 5b: uf250 median time-to-solution (north-star metric) -----
+    from odesat_tpu.utils.generate import uf_instance
+
+    tts = []
+    solved_n = 0
+    n_seeds = 3 if q else 5
+    for seed in range(n_seeds):
+        inst = uf_instance(250, seed=seed)
+        _, norm_i = normalize_cnf_variables(inst)
+        cfg = SolverConfig(
+            ode=ODEConfig(step_size=0.01, steps=20000, matmul_dtype="bfloat16"),
+            batch_size=1024 if q else 4096,
+            seed=seed,
+            chunk_steps=500,
+        )
+        t0 = time.perf_counter()
+        res = simulate_batch(norm_i, cfg)
+        tts.append(time.perf_counter() - t0)
+        solved_n += int(res.any_solved)
+    results["configs"]["uf250_median_tts"] = {
+        "median_tts_s": float(np.median(tts)),
+        "solved": f"{solved_n}/{n_seeds}",
+        "note": "planted uf250-class, fixed dt, stop on first allsat trajectory",
+    }
+
     # --- config 6: locally-structured n=4096 (windowed streaming) ---------
     from odesat_tpu.utils.generate import random_local_ksat
 

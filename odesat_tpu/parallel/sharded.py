@@ -82,24 +82,31 @@ def make_sharded_chunk_runner(
     n_clause = mesh.shape.get("clause", 1)
     clause_axis = "clause" if n_clause > 1 else None
 
-    if clause_axis is None and ode.dv_strategy in ("auto", "fused"):
-        # trajectory-only mesh: the fused Pallas chunk shards as pure DP —
+    if clause_axis is None and ode.dv_strategy in ("auto", "fused", "stream"):
+        # trajectory-only mesh: the Pallas chunk kernels shard as pure DP —
         # each device runs the kernel on its batch slice under shard_map
         from odesat_tpu.ops.fused_pallas import fused_supported, make_fused_chunk
+        from odesat_tpu.ops.stream_pallas import make_stream_chunk, stream_supported
 
-        use_fused = ode.dv_strategy == "fused" or (
-            jax.default_backend() == "tpu" and ode.dtype == "float32" and fused_supported(fa)
-        )
-        if use_fused and fused_supported(fa):
-            fused = make_fused_chunk(fa, zeta, ode, chunk_steps)
-            sharded_fused = shard_map(
-                lambda state: fused(state),
+        kernel = None
+        on_tpu_f32 = jax.default_backend() == "tpu" and ode.dtype == "float32"
+        if ode.dv_strategy != "stream" and fused_supported(fa) and (
+            ode.dv_strategy == "fused" or on_tpu_f32
+        ):
+            kernel = make_fused_chunk(fa, zeta, ode, chunk_steps)
+        elif stream_supported(fa) and (
+            ode.dv_strategy == "stream" or on_tpu_f32
+        ):
+            kernel = make_stream_chunk(fa, zeta, ode, chunk_steps)
+        if kernel is not None:
+            sharded_kernel = shard_map(
+                lambda state: kernel(state),
                 mesh=mesh,
                 in_specs=(STATE_SPECS,),
                 out_specs=STATE_SPECS,
                 check_vma=False,  # pallas_call outputs carry no vma info
             )
-            return jax.jit(lambda state, dev: sharded_fused(state), donate_argnums=0)
+            return jax.jit(lambda state, dev: sharded_kernel(state), donate_argnums=0)
 
     step = make_step_fn(fa, zeta, ode, clause_axis=clause_axis)
 

@@ -135,3 +135,35 @@ def test_make_pod_mesh():
         assert mesh.shape["clause"] == 2
     mesh = make_pod_mesh()
     assert mesh.shape["traj"] == len(jax.devices())
+
+
+def test_stream_kernel_shards_as_dp():
+    """dv_strategy='stream' on a trajectory-only mesh runs the streaming
+    kernel per device slice (pure DP) and matches the single-device
+    kernel."""
+    import jax
+    import numpy as np
+
+    from odesat_tpu.cnf import compile_formula, normalize_cnf_variables
+    from odesat_tpu.models.ode import formula_device, init_state
+    from odesat_tpu.ops.stream_pallas import make_stream_chunk
+    from odesat_tpu.parallel.mesh import make_mesh
+    from odesat_tpu.parallel.sharded import make_sharded_chunk_runner
+    from odesat_tpu.utils.config import ODEConfig
+    from odesat_tpu.utils.generate import random_ksat
+
+    cpu_mesh8 = make_mesh(8, 1)
+    formula = random_ksat(30, 90, k=3, seed=12)
+    _, normalized = normalize_cnf_variables(formula)
+    fa = compile_formula(normalized)
+    ode = ODEConfig(step_size=0.02, dv_strategy="stream")
+    state = init_state(fa, 64, jax.random.PRNGKey(12), ode)
+
+    runner = make_sharded_chunk_runner(fa, 0.05, ode, 6, cpu_mesh8)
+    out = runner(state, formula_device(fa))
+
+    ref = make_stream_chunk(fa, 0.05, ode, 6, interpret=True)(state)
+    np.testing.assert_allclose(
+        np.asarray(out.v), np.asarray(ref.v), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_array_equal(np.asarray(out.done), np.asarray(ref.done))
