@@ -29,7 +29,7 @@ SIZES = [
     ("n1k", 1000, 4300),
     ("n4k", 4000, 17200),
 ]
-STRATEGIES = ["gather", "segment_sum", "onehot", "pallas"]
+STRATEGIES = ["gather", "segment_sum", "onehot", "pallas", "fused", "stream"]
 
 
 def rate(fa, ode, batch, chunk=500, repeats=3):
