@@ -25,6 +25,8 @@
 // all three implementations.
 
 #include <algorithm>
+#include <chrono>
+#include <cstdio>
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
@@ -233,6 +235,34 @@ int32_t is_blocked(const Pre& st, const Clause& clause) {
   return -1;
 }
 
+// Occurrence-indexed subsumption for the full clause database: a
+// subsuming clause contains only literals of the subsumed one, so it
+// appears in the occurrence list of at least one of its literals —
+// scanning those lists replaces the all-pairs O(M^2) sweep (50s at
+// M=24k) with Sum_c Sum_{l in c} |occ(l)| short includes() tests.
+// Produces exactly the same final set (strict-subset subsumers only).
+void subsume_clauses_indexed(ClauseSet& clauses) {
+  std::map<lit_t, std::vector<const Clause*>> occ;
+  for (const Clause& c : clauses)
+    for (lit_t l : c) occ[l].push_back(&c);
+  std::vector<Clause> to_remove;
+  for (const Clause& c : clauses) {
+    bool subsumed = false;
+    for (lit_t l : c) {
+      for (const Clause* other : occ[l]) {
+        if (other->size() >= c.size()) continue;
+        if (std::includes(c.begin(), c.end(), other->begin(), other->end())) {
+          subsumed = true;
+          break;
+        }
+      }
+      if (subsumed) break;
+    }
+    if (subsumed) to_remove.push_back(c);
+  }
+  for (const Clause& c : to_remove) clauses.erase(c);
+}
+
 void subsume_clauses(ClauseSet& clauses) {
   std::vector<Clause> to_remove;
   for (const Clause& c : clauses) {
@@ -363,6 +393,12 @@ int odesat_preprocess(const lit_t* lits, const int64_t* offsets,
                       lit_t** out_lits, int64_t** out_offsets,
                       int64_t* out_n_clauses, int64_t* out_varnum,
                       uint8_t** out_trace, int64_t* out_trace_len) {
+  const bool prof = std::getenv("ODESAT_NATIVE_PROFILE") != nullptr;
+  auto now = [] { return std::chrono::steady_clock::now(); };
+  auto secs = [](auto a, auto b) {
+    return std::chrono::duration<double>(b - a).count();
+  };
+  auto t0 = now();
   Pre st;
   st.varnum = varnum;
   for (int64_t m = 0; m < n_clauses; ++m) {
@@ -377,25 +413,46 @@ int odesat_preprocess(const lit_t* lits, const int64_t* offsets,
   for (const Clause& c : st.clauses)
     if (is_blocked(st, c) >= 0) blocked.push_back(c);
   for (const Clause& c : blocked) eliminate_if_blocked(st, c, nullptr);
+  auto t1 = now();
 
   // greedy VE loop
+  double t_pick = 0, t_elim = 0, t_bce = 0;
   std::set<int32_t> candidates;
   for (auto& kv : st.index) candidates.insert(kv.first);
   for (;;) {
     int32_t var;
     ClauseSet resolvents;
-    if (!min_ratio_resolvant(st, candidates, target_ratio, &var, &resolvents))
-      break;
+    auto ta = now();
+    bool found =
+        min_ratio_resolvant(st, candidates, target_ratio, &var, &resolvents);
+    auto tb = now();
+    t_pick += secs(ta, tb);
+    if (!found) break;
     candidates.clear();
     eliminate_variable(st, var, resolvents, &candidates);
+    auto tc = now();
+    t_elim += secs(tb, tc);
     for (const Clause& r : resolvents) {
       if (!st.clauses.count(r)) continue;
       std::set<int32_t> changed2;
       if (eliminate_if_blocked(st, r, &changed2))
         candidates.insert(changed2.begin(), changed2.end());
     }
+    t_bce += secs(tc, now());
   }
-  subsume_clauses(st.clauses);
+  if (prof)
+    std::fprintf(stderr,
+                 "[odesat_native] greedy VE split: pick %.2fs, elim %.2fs, "
+                 "bce-on-resolvents %.2fs\n",
+                 t_pick, t_elim, t_bce);
+  auto t2 = now();
+  subsume_clauses_indexed(st.clauses);
+  auto t3 = now();
+  if (prof)
+    std::fprintf(stderr,
+                 "[odesat_native] preprocess phases: build+bce %.2fs, "
+                 "greedy VE %.2fs, final subsume %.2fs\n",
+                 secs(t0, t1), secs(t1, t2), secs(t2, t3));
 
   // serialize reduced formula (ClauseSet iteration = deterministic order)
   std::vector<lit_t> flat;
