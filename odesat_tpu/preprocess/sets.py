@@ -53,11 +53,25 @@ def is_tautology(clause: frozenset) -> bool:
 
 def subsume_clauses(clauses: set) -> None:
     """Remove every clause that is a proper superset of another
-    (reference: src/cnf.rs:521-539). In-place."""
+    (reference: src/cnf.rs:521-539). In-place.
+
+    Occurrence-indexed: a subsuming clause contains only literals of the
+    subsumed one, so it appears in the occurrence list of at least one
+    of them — same final set as the reference's all-pairs scan at
+    Sum |occ| cost instead of O(M^2) (the native twin does the same,
+    odesat_native.cc subsume_clauses_indexed)."""
+    occ = {}
+    for clause in clauses:
+        for lit in clause:
+            occ.setdefault(lit, []).append(clause)
     to_remove = [
         clause
         for clause in clauses
-        if any(other != clause and clause >= other for other in clauses)
+        if any(
+            other is not clause and len(other) < len(clause) and clause >= other
+            for lit in clause
+            for other in occ[lit]
+        )
     ]
     for clause in to_remove:
         clauses.discard(clause)
