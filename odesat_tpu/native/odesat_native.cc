@@ -225,6 +225,55 @@ ClauseSet calculate_var_resolvents(const Pre& st, int32_t var) {
   return all;
 }
 
+// vector variant for the greedy pick's hot path: sorted + deduped, same
+// contents/order as the ClauseSet version without per-insert tree costs
+std::vector<Clause> calculate_var_resolvents_vec(const Pre& st, int32_t var) {
+  std::vector<Clause> all;
+  auto it = st.index.find(var);
+  if (it == st.index.end()) return all;
+  size_t expect = 0;
+  for (const Clause& c : it->second.pos) (void)c, ++expect;
+  all.reserve(expect * 4);
+  for (const Clause& c : it->second.pos) {
+    auto rs = calculate_resolvents(st, c, var);
+    for (auto& r : rs) all.push_back(std::move(r));
+  }
+  std::sort(all.begin(), all.end());
+  all.erase(std::unique(all.begin(), all.end()), all.end());
+  return all;
+}
+
+// indexed subsumption over a sorted, deduped vector (same final set as
+// subsume_clauses_indexed on the equivalent ClauseSet)
+void subsume_vec_indexed(std::vector<Clause>& clauses) {
+  std::map<lit_t, std::vector<const Clause*>> occ;
+  for (const Clause& c : clauses)
+    for (lit_t l : c) occ[l].push_back(&c);
+  std::vector<char> keep(clauses.size(), 1);
+  for (size_t i = 0; i < clauses.size(); ++i) {
+    const Clause& c = clauses[i];
+    bool subsumed = false;
+    for (lit_t l : c) {
+      for (const Clause* other : occ[l]) {
+        if (other->size() >= c.size()) continue;
+        if (std::includes(c.begin(), c.end(), other->begin(), other->end())) {
+          subsumed = true;
+          break;
+        }
+      }
+      if (subsumed) break;
+    }
+    if (subsumed) keep[i] = 0;
+  }
+  size_t w = 0;
+  for (size_t i = 0; i < clauses.size(); ++i) {
+    if (!keep[i]) continue;
+    if (w != i) clauses[w] = std::move(clauses[i]);  // self-move empties a vector
+    ++w;
+  }
+  clauses.resize(w);
+}
+
 // blocking variable if some literal has no surviving resolvents, scanned
 // in sorted literal order (matches Python's sorted(clause))
 int32_t is_blocked(const Pre& st, const Clause& clause) {
@@ -361,13 +410,15 @@ bool min_ratio_resolvant(const Pre& st, const std::set<int32_t>& candidates,
                          ClauseSet* out_resolvents) {
   double smallest = 1e300;
   int32_t best = -1;
-  ClauseSet best_res;
+  std::vector<Clause> best_res;
   for (int32_t var : candidates) {
     auto it = st.index.find(var);
     if (it == st.index.end()) continue;
-    ClauseSet res = calculate_var_resolvents(st, var);
+    std::vector<Clause> res = calculate_var_resolvents_vec(st, var);
     // tautologies already skipped by construction; subsume within
-    subsume_clauses(res);
+    // (indexed: late-stage candidates produce 1000+ wide resolvents,
+    // where the all-pairs sweep was ~30ms per candidate scan)
+    subsume_vec_indexed(res);
     double clause_count = (double)st.clauses.size() - it->second.pos.size() -
                           it->second.neg.size() + res.size();
     double var_count = (double)st.varnum - 1;
@@ -380,7 +431,8 @@ bool min_ratio_resolvant(const Pre& st, const std::set<int32_t>& candidates,
   }
   if (best < 0 || smallest > (double)target) return false;
   *out_var = best;
-  *out_resolvents = std::move(best_res);
+  out_resolvents->clear();
+  for (Clause& c : best_res) out_resolvents->insert(std::move(c));
   return true;
 }
 
@@ -417,6 +469,7 @@ int odesat_preprocess(const lit_t* lits, const int64_t* offsets,
 
   // greedy VE loop
   double t_pick = 0, t_elim = 0, t_bce = 0;
+  long n_rounds = 0, n_cands = 0;
   std::set<int32_t> candidates;
   for (auto& kv : st.index) candidates.insert(kv.first);
   for (;;) {
@@ -427,6 +480,8 @@ int odesat_preprocess(const lit_t* lits, const int64_t* offsets,
         min_ratio_resolvant(st, candidates, target_ratio, &var, &resolvents);
     auto tb = now();
     t_pick += secs(ta, tb);
+    n_rounds += 1;
+    n_cands += (long)candidates.size();
     if (!found) break;
     candidates.clear();
     eliminate_variable(st, var, resolvents, &candidates);
@@ -443,8 +498,8 @@ int odesat_preprocess(const lit_t* lits, const int64_t* offsets,
   if (prof)
     std::fprintf(stderr,
                  "[odesat_native] greedy VE split: pick %.2fs, elim %.2fs, "
-                 "bce-on-resolvents %.2fs\n",
-                 t_pick, t_elim, t_bce);
+                 "bce-on-resolvents %.2fs (%ld rounds, %ld candidate scans)\n",
+                 t_pick, t_elim, t_bce, n_rounds, n_cands);
   auto t2 = now();
   subsume_clauses_indexed(st.clauses);
   auto t3 = now();
