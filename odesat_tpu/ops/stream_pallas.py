@@ -212,7 +212,7 @@ def make_stream_chunk(
         else:
             (v_ref, xs_ref, xl_ref, dt_ref, done_ref,
              g_ref, bias_ref, cmask_ref,
-             v_o, xs_o, xl_o, dt_o, done_o, xsh_o, xlh_o, xsf_o, xlf_o,
+             v_o, xs_o, xl_o, dt_o, done_o, dxs_o, dxl_o,
              gbuf, iobuf, vals_ref, v16_ref, dv_ref, sat_ref, err_ref,
              gsem, rsem, wsem, csem) = refs
 
@@ -233,8 +233,10 @@ def make_stream_chunk(
 
         # ---- static span DMA plumbing -----------------------------------
         # iobuf layout (per slot): channel 0/1 = xs/xl read stage,
-        # channel 2/3 = xs/xl write stage; adaptive adds 4/5 = xs/xl
-        # original read stage and 6/7 = xs_f/xl_f read stage in pass 2.
+        # channel 2/3 = write stage; adaptive pass 2 adds 4/5 = dxs/dxl
+        # read stage (the half/full-step states are recomputed from the
+        # pass-1 derivatives instead of being staged — 14 -> 10 span
+        # transfers per step).
         def g_dma(s, slot):
             r0, kb, w, _, _ = span_meta[s]
             return pltpu.make_async_copy(
@@ -376,7 +378,7 @@ def make_stream_chunk(
                 v = v_o[:]
                 v16_ref[:] = v.astype(mm_dtype)
 
-                # ---- pass 1: RHS at (v, xs, xl); stage h and f states —
+                # ---- pass 1: RHS at (v, xs, xl); stage the derivatives
                 dv_ref[:] = jnp.zeros_like(dv_ref)
                 sat_ref[:] = jnp.ones_like(sat_ref)
                 g_dma(0, 0).start()
@@ -398,27 +400,18 @@ def make_stream_chunk(
                     _, _, w_s, lo_s, _ = span_meta[s]
                     dv_ref[:, lo_s : lo_s + w_s] = dv_ref[:, lo_s : lo_s + w_s] + dv
                     sat_ref[:] = jnp.minimum(sat_ref[:], span_sat)
-                    # stage: channel 2=xs_h, 3=xl_h, 4=xs_f, 5=xl_f
                     if s >= 2:
-                        write_dma(xsh_o, s - 2, slot, 2, slot * 4).wait()
-                        write_dma(xlh_o, s - 2, slot, 3, 1 + slot * 4).wait()
-                        write_dma(xsf_o, s - 2, slot, 4, 2 + slot * 4).wait()
-                        write_dma(xlf_o, s - 2, slot, 5, 3 + slot * 4).wait()
-                    iobuf[slot, 2] = clamp_xs(xs + 0.5 * dt_col * dxs)
-                    iobuf[slot, 3] = clamp_xl(xl + 0.5 * dt_col * dxl)
-                    iobuf[slot, 4] = clamp_xs(xs + dt_col * dxs)
-                    iobuf[slot, 5] = clamp_xl(xl + dt_col * dxl)
-                    write_dma(xsh_o, s, slot, 2, slot * 4).start()
-                    write_dma(xlh_o, s, slot, 3, 1 + slot * 4).start()
-                    write_dma(xsf_o, s, slot, 4, 2 + slot * 4).start()
-                    write_dma(xlf_o, s, slot, 5, 3 + slot * 4).start()
+                        write_dma(dxs_o, s - 2, slot, 2, slot * 2).wait()
+                        write_dma(dxl_o, s - 2, slot, 3, 1 + slot * 2).wait()
+                    iobuf[slot, 2] = dxs
+                    iobuf[slot, 3] = dxl
+                    write_dma(dxs_o, s, slot, 2, slot * 2).start()
+                    write_dma(dxl_o, s, slot, 3, 1 + slot * 2).start()
                 for s in (S - 2, S - 1):
                     if s >= 0:
                         slot = s % 2
-                        write_dma(xsh_o, s, slot, 2, slot * 4).wait()
-                        write_dma(xlh_o, s, slot, 3, 1 + slot * 4).wait()
-                        write_dma(xsf_o, s, slot, 4, 2 + slot * 4).wait()
-                        write_dma(xlf_o, s, slot, 5, 3 + slot * 4).wait()
+                        write_dma(dxs_o, s, slot, 2, slot * 2).wait()
+                        write_dma(dxl_o, s, slot, 3, 1 + slot * 2).wait()
 
                 allsat = sat_ref[:]
                 advance = jnp.where(
@@ -428,50 +421,53 @@ def make_stream_chunk(
                 vf = clamp_v(v + dt_col * dv_ref[:])
                 v16_ref[:] = vh.astype(mm_dtype)
 
-                # ---- pass 2: RHS at (vh, xs_h, xl_h); trial state, error
+                # ---- pass 2: RHS at (vh, xs_h, xl_h) with the half/full
+                # states recomputed from (xs, dxs); trial state, error
                 # norm, and commit.
                 dv_ref[:] = jnp.zeros_like(dv_ref)
                 err_ref[:] = jnp.zeros_like(err_ref)
                 g_dma(0, 0).start()
-                read_dma(xsh_o, 0, 0, 0, 0).start()
-                read_dma(xlh_o, 0, 0, 1, 1).start()
-                read_dma(xs_o, 0, 0, 4, 8).start()
-                read_dma(xl_o, 0, 0, 5, 9).start()
-                read_dma(xsf_o, 0, 0, 6, 10).start()
-                read_dma(xlf_o, 0, 0, 7, 11).start()
+                read_dma(xs_o, 0, 0, 0, 0).start()
+                read_dma(xl_o, 0, 0, 1, 1).start()
+                read_dma(dxs_o, 0, 0, 4, 8).start()
+                read_dma(dxl_o, 0, 0, 5, 9).start()
                 for s in range(S):
                     slot = s % 2
                     if s + 1 < S:
                         nslot = (s + 1) % 2
                         g_dma(s + 1, nslot).start()
-                        read_dma(xsh_o, s + 1, nslot, 0, 2 + nslot * 2).start()
-                        read_dma(xlh_o, s + 1, nslot, 1, 3 + nslot * 2).start()
-                        read_dma(xs_o, s + 1, nslot, 4, 12 + nslot * 2).start()
-                        read_dma(xl_o, s + 1, nslot, 5, 13 + nslot * 2).start()
-                        read_dma(xsf_o, s + 1, nslot, 6, 16 + nslot * 2).start()
-                        read_dma(xlf_o, s + 1, nslot, 7, 17 + nslot * 2).start()
+                        read_dma(xs_o, s + 1, nslot, 0, 2 + nslot * 2).start()
+                        read_dma(xl_o, s + 1, nslot, 1, 3 + nslot * 2).start()
+                        read_dma(dxs_o, s + 1, nslot, 4, 12 + nslot * 2).start()
+                        read_dma(dxl_o, s + 1, nslot, 5, 13 + nslot * 2).start()
                     g_dma(s, slot).wait()
                     first = s == 0
-                    read_dma(xsh_o, s, slot, 0, 0 if first else 2 + slot * 2).wait()
-                    read_dma(xlh_o, s, slot, 1, 1 if first else 3 + slot * 2).wait()
-                    read_dma(xs_o, s, slot, 4, 8 if first else 12 + slot * 2).wait()
-                    read_dma(xl_o, s, slot, 5, 9 if first else 13 + slot * 2).wait()
-                    read_dma(xsf_o, s, slot, 6, 10 if first else 16 + slot * 2).wait()
-                    read_dma(xlf_o, s, slot, 7, 11 if first else 17 + slot * 2).wait()
-                    xsh = iobuf[slot, 0]
-                    xlh = iobuf[slot, 1]
-                    xs0 = iobuf[slot, 4]
-                    xl0 = iobuf[slot, 5]
-                    xsf = iobuf[slot, 6]
-                    xlf = iobuf[slot, 7]
+                    read_dma(xs_o, s, slot, 0, 0 if first else 2 + slot * 2).wait()
+                    read_dma(xl_o, s, slot, 1, 1 if first else 3 + slot * 2).wait()
+                    read_dma(dxs_o, s, slot, 4, 8 if first else 12 + slot * 2).wait()
+                    read_dma(dxl_o, s, slot, 5, 9 if first else 13 + slot * 2).wait()
+                    xs0 = iobuf[slot, 0]
+                    xl0 = iobuf[slot, 1]
+                    dxs1 = iobuf[slot, 4]
+                    dxl1 = iobuf[slot, 5]
+                    xsh = clamp_xs(xs0 + 0.5 * dt_col * dxs1)
+                    xlh = clamp_xl(xl0 + 0.5 * dt_col * dxl1)
                     dv2, dxs2, dxl2, _ = span_terms(s, slot, xsh, xlh)
                     _, _, w_s, lo_s, _ = span_meta[s]
                     dv_ref[:, lo_s : lo_s + w_s] = dv_ref[:, lo_s : lo_s + w_s] + dv2
                     txs = clamp_xs(xsh + 0.5 * dt_col * dxs2)
                     txl = clamp_xl(xlh + 0.5 * dt_col * dxl2)
                     err_span = jnp.maximum(
-                        jnp.max(jnp.abs(xsf - txs), axis=1, keepdims=True),
-                        jnp.max(jnp.abs(xlf - txl), axis=1, keepdims=True),
+                        jnp.max(
+                            jnp.abs(clamp_xs(xs0 + dt_col * dxs1) - txs),
+                            axis=1,
+                            keepdims=True,
+                        ),
+                        jnp.max(
+                            jnp.abs(clamp_xl(xl0 + dt_col * dxl1) - txl),
+                            axis=1,
+                            keepdims=True,
+                        ),
                     )
                     err_ref[:] = jnp.maximum(err_ref[:], err_span)
                     if s >= 2:
@@ -529,7 +525,7 @@ def make_stream_chunk(
         dt_col = state.dt.astype(jnp.float32).reshape(B, 1)
         done_col = state.done.astype(jnp.float32).reshape(B, 1)
 
-        n_io_channels = 4 if fixed else 8
+        n_io_channels = 4 if fixed else 6
         row_blk = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda i: (i, 0), memory_space=pltpu.VMEM
         )
@@ -560,11 +556,11 @@ def make_stream_chunk(
             pltpu.VMEM((Bb, Np), jnp.float32),  # dv accumulator
             pltpu.VMEM((Bb, 1), jnp.float32),  # allsat accumulator
         ]
-        n_rsem = 6 if fixed else 20
-        n_wsem = 4 if fixed else 8
+        n_rsem = 6 if fixed else 16
+        n_wsem = 4
         if not fixed:
-            out_specs += [any_spec] * 4  # xs_h, xl_h, xs_f, xl_f staging
-            out_shape += [jax.ShapeDtypeStruct((B, Mp), jnp.float32)] * 4
+            out_specs += [any_spec] * 2  # pass-1 dxs/dxl staging
+            out_shape += [jax.ShapeDtypeStruct((B, Mp), jnp.float32)] * 2
             scratch.append(pltpu.VMEM((Bb, 1), jnp.float32))  # err accumulator
         scratch += [
             pltpu.SemaphoreType.DMA((2,)),  # plane DMA
