@@ -45,7 +45,7 @@ def stoch_fused_supported(fa: FormulaArrays) -> bool:
 def make_fused_stoch_chunk(
     fa: FormulaArrays,
     chunk_steps: int,
-    traj_block: int = 128,
+    traj_block: int = 512,
     interpret: bool | None = None,
 ):
     """Build ``fn(state: StochState) -> StochState`` advancing every chain
@@ -200,6 +200,9 @@ def make_fused_stoch_chunk(
                 jax.ShapeDtypeStruct((B, 1), jnp.float32),
             ],
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024,  # room for 512-row blocks
+            ),
         )(seed, v, xl, done, G_host, pos_host, mask_host, cmask_host, has_occ_host)
 
         return StochState(
