@@ -123,3 +123,29 @@ def test_cli_hard_false_verdict(data_dir, capsys):
     captured = capsys.readouterr().out
     assert rc == 0  # exits 0 regardless, like the reference
     assert "Checking if solution vector satisfies formula: false" in captured
+
+
+def test_cli_var_order_and_matmul_dtype(data_dir, capsys):
+    """--var-order bandwidth relabels variables (RCM) and --matmul-dtype
+    parses; the verified verdict must be unaffected (readout composes
+    the permutation back)."""
+    rc = main(
+        [
+            "solve",
+            "-f",
+            os.path.join(data_dir, "small.cnf"),
+            "-s",
+            "0.01",
+            "-n",
+            "2000",
+            "--seed",
+            "0",
+            "--var-order",
+            "bandwidth",
+            "--matmul-dtype",
+            "bfloat16",
+        ]
+    )
+    captured = capsys.readouterr().out
+    assert rc == 0
+    assert "Checking if solution vector satisfies formula: true" in captured
