@@ -323,12 +323,13 @@ def make_chunk_runner(fa: FormulaArrays, zeta: float, ode: ODEConfig, chunk_step
     if strategy == "fused":
         from odesat_tpu.ops.fused_pallas import make_fused_chunk
 
-        return jax.jit(make_fused_chunk(fa, zeta, ode, chunk_steps), donate_argnums=0)
+        # already jitted inside (shape-cached; donated state)
+        return make_fused_chunk(fa, zeta, ode, chunk_steps, donate=True)
 
     if strategy == "stream":
         from odesat_tpu.ops.stream_pallas import make_stream_chunk
 
-        return jax.jit(make_stream_chunk(fa, zeta, ode, chunk_steps), donate_argnums=0)
+        return make_stream_chunk(fa, zeta, ode, chunk_steps, donate=True)
 
     step = make_step_fn(fa, zeta, ode)
 

@@ -143,14 +143,14 @@ def make_stoch_chunk_runner(
         if stoch_fused_supported(fa) and (
             fused == "on" or jax.default_backend() == "tpu"
         ):
-            return jax.jit(make_fused_stoch_chunk(fa, chunk_steps), donate_argnums=0)
+            # already jitted inside (shape-cached; donated state)
+            return make_fused_stoch_chunk(fa, chunk_steps, donate=True)
         itemsize = 2 if matmul_dtype == "bfloat16" else 4
         if stoch_stream_supported(fa, itemsize) and (
             fused == "on" or jax.default_backend() == "tpu"
         ):
-            return jax.jit(
-                make_stream_stoch_chunk(fa, chunk_steps, matmul_dtype=matmul_dtype),
-                donate_argnums=0,
+            return make_stream_stoch_chunk(
+                fa, chunk_steps, matmul_dtype=matmul_dtype, donate=True
             )
 
     step = make_stoch_step(fa)

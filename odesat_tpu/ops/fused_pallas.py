@@ -49,6 +49,7 @@ from odesat_tpu.ops.rhs_pallas import _build_onehot_stacked, _pick_block
 
 _INF = float("inf")
 _VMEM_G_LIMIT = 8 * 1024 * 1024
+_JIT_CACHE = {}  # static shape signature -> jitted kernel (see make_fused_chunk)
 
 
 def fused_supported(fa: FormulaArrays, itemsize: int = 4) -> bool:
@@ -68,11 +69,16 @@ def make_fused_chunk(
     chunk_steps: int,
     traj_block: int = 512,
     interpret: bool | None = None,
+    donate: bool = False,
 ):
     """Build ``fn(state: ODEState, dev) -> ODEState`` advancing every
     trajectory ``chunk_steps`` steps in one kernel launch. ``dev`` is
-    accepted for signature parity with the scan runner and ignored (the
-    incidence arrays are baked into the kernel as constants)."""
+    accepted for signature parity with the scan runner and ignored.
+
+    The incidence arrays ride as jit *arguments* and the jitted kernel
+    is cached on the formula's static shape signature — solving many
+    same-shape instances (restart families, benchmark seed sets,
+    production streams) compiles once instead of once per formula."""
     itemsize = 2 if getattr(ode, "matmul_dtype", "float32") == "bfloat16" else 4
     if not fused_supported(fa, itemsize):
         raise ValueError(
@@ -100,6 +106,16 @@ def make_fused_chunk(
     sign_host = jnp.asarray(fa.sign.astype(np.float32))
     mask_host = jnp.asarray(fa.lit_mask.astype(np.float32))
     cmask_host = jnp.asarray(fa.clause_mask.astype(np.float32).reshape(1, Mp))
+
+    cache_key = (
+        "fused", Np, Mp, K, fa.n_clauses, zeta_c, paper, fixed, dt_fixed,
+        tol, bf16, chunk_steps, traj_block, interpret, donate,
+    )
+    jitted = _JIT_CACHE.get(cache_key)
+    if jitted is not None:
+        return lambda state, dev=None: jitted(
+            state, G_host, sign_host, mask_host, cmask_host
+        )
 
     def kernel(v_ref, xs_ref, xl_ref, dt_ref, done_ref,
                g_ref, sign_ref, mask_ref, cmask_ref,
@@ -206,7 +222,7 @@ def make_fused_chunk(
         dt_out[:] = dt
         done_out[:] = done
 
-    def fn(state, dev=None):  # dev ignored; signature parity with scan runner
+    def raw(state, G, sign, mask, cmask):
         B_in = state.v.shape[0]
         # Mosaic requires the trajectory block to be a multiple of 8 (or
         # the full array); pad odd batches with frozen dummy rows
@@ -274,8 +290,7 @@ def make_fused_chunk(
                 bytes_accessed=(B * (Np + 2 * Mp) * 4) * 2,
                 transcendentals=0,
             ),
-        )(state.v, state.xs, state.xl, dt_col, done_col,
-          G_host, sign_host, mask_host, cmask_host)
+        )(state.v, state.xs, state.xl, dt_col, done_col, G, sign, mask, cmask)
 
         from odesat_tpu.models.ode import ODEState
 
@@ -287,4 +302,8 @@ def make_fused_chunk(
             done=done_o.reshape(B)[:B_in] > 0.5,
         )
 
-    return fn
+    jitted = jax.jit(raw, donate_argnums=0 if donate else ())
+    _JIT_CACHE[cache_key] = jitted
+    return lambda state, dev=None: jitted(
+        state, G_host, sign_host, mask_host, cmask_host
+    )

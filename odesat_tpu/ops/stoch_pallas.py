@@ -35,6 +35,7 @@ from odesat_tpu.constants import STOCH_ALPHA
 from odesat_tpu.ops.rhs_pallas import _build_onehot_stacked, _pick_block
 
 XL_CAP = float(2**24)
+_JIT_CACHE = {}  # static shape signature -> jitted kernel
 
 
 def stoch_fused_supported(fa: FormulaArrays) -> bool:
@@ -47,9 +48,12 @@ def make_fused_stoch_chunk(
     chunk_steps: int,
     traj_block: int = 512,
     interpret: bool | None = None,
+    donate: bool = False,
 ):
     """Build ``fn(state: StochState) -> StochState`` advancing every chain
-    ``chunk_steps`` steps in one kernel launch."""
+    ``chunk_steps`` steps in one kernel launch. Incidence arrays ride as
+    jit arguments; the jitted kernel is cached on the static shape
+    signature (compile once per instance family)."""
     if not stoch_fused_supported(fa):
         raise ValueError("stoch fused kernel: one-hot block exceeds VMEM")
     if interpret is None:
@@ -65,6 +69,13 @@ def make_fused_stoch_chunk(
     has_occ_host = jnp.asarray(
         (fa.occ_mask.sum(axis=-1) > 0).astype(np.float32).reshape(1, Np)
     )
+
+    cache_key = ("stoch_fused", Np, Mp, K, chunk_steps, traj_block, interpret, donate)
+    jitted = _JIT_CACHE.get(cache_key)
+    if jitted is not None:
+        return lambda state: jitted(
+            state, G_host, pos_host, mask_host, cmask_host, has_occ_host
+        )
 
     def kernel(seed_ref, v_ref, xl_ref, done_ref,
                g_ref, pos_ref, mask_ref, cmask_ref, hasocc_ref,
@@ -153,7 +164,7 @@ def make_fused_stoch_chunk(
         xl_out[:] = xl
         done_out[:] = done
 
-    def fn(state):
+    def raw(state, G, pos, mask, cmask, has_occ):
         from odesat_tpu.models.stoch import StochState
 
         B_in = state.v.shape[0]
@@ -203,7 +214,7 @@ def make_fused_stoch_chunk(
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024,  # room for 512-row blocks
             ),
-        )(seed, v, xl, done, G_host, pos_host, mask_host, cmask_host, has_occ_host)
+        )(seed, v, xl, done, G, pos, mask, cmask, has_occ)
 
         return StochState(
             v=v_o[:B_in] > 0.5,
@@ -212,7 +223,11 @@ def make_fused_stoch_chunk(
             key=key,
         )
 
-    return fn
+    jitted = jax.jit(raw, donate_argnums=0 if donate else ())
+    _JIT_CACHE[cache_key] = jitted
+    return lambda state: jitted(
+        state, G_host, pos_host, mask_host, cmask_host, has_occ_host
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -282,6 +297,7 @@ def make_stream_stoch_chunk(
     traj_block: int = 256,
     matmul_dtype: str = "float32",
     interpret: bool | None = None,
+    donate: bool = False,
 ):
     """Build ``fn(state: StochState) -> StochState`` advancing every chain
     ``chunk_steps`` steps with the clause weights xl and the incidence
@@ -313,6 +329,16 @@ def make_stream_stoch_chunk(
         (fa.occ_mask.sum(axis=-1) > 0).astype(np.float32).reshape(1, Np)
     )
     S = len(span_meta)
+
+    cache_key = (
+        "stoch_stream", Np, Mp, K, Kmax, tuple(span_meta), chunk_steps,
+        traj_block, bf16, interpret, donate,
+    )
+    jitted = _JIT_CACHE.get(cache_key)
+    if jitted is not None:
+        return lambda state: jitted(
+            state, G_host, bias_host, sign_host, cmask_host, has_occ_host
+        )
 
     def kernel(seed_ref, v_ref, xl_ref, done_ref,
                g_ref, bias_ref, sign_ref, cmask_ref, hasocc_ref,
@@ -439,7 +465,7 @@ def make_stream_stoch_chunk(
         done_o[:] = done_ref[:]
         jax.lax.fori_loop(0, chunk_steps, step, 0)
 
-    def fn(state):
+    def raw(state, G, bias, signs_in, cmask_in, has_occ_in):
         from odesat_tpu.models.stoch import StochState
 
         B_in = state.v.shape[0]
@@ -516,7 +542,7 @@ def make_stream_stoch_chunk(
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True, vmem_limit_bytes=vmem_limit
             ),
-        )(seed, v, xl, done, G_host, bias_host, sign_host, cmask_host, has_occ_host)
+        )(seed, v, xl, done, G, bias, signs_in, cmask_in, has_occ_in)
 
         return StochState(
             v=v_out[:B_in] > 0.5,
@@ -525,4 +551,8 @@ def make_stream_stoch_chunk(
             key=key,
         )
 
-    return fn
+    jitted = jax.jit(raw, donate_argnums=0 if donate else ())
+    _JIT_CACHE[cache_key] = jitted
+    return lambda state: jitted(
+        state, G_host, bias_host, sign_host, cmask_host, has_occ_host
+    )
