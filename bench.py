@@ -21,6 +21,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from odesat_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from odesat_tpu.cnf import compile_formula, normalize_cnf_variables, parse_dimacs_file
 from odesat_tpu.models.ode import formula_device, init_state, make_chunk_runner
 from odesat_tpu.utils.config import ODEConfig

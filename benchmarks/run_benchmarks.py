@@ -26,6 +26,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+from odesat_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 import numpy as np
 
 from odesat_tpu.cnf import compile_formula, normalize_cnf_variables, parse_dimacs_file

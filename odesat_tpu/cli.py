@@ -299,6 +299,9 @@ def cmd_inter(args) -> int:
 
 
 def main(argv=None) -> int:
+    from odesat_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # persist compiled kernels across runs
     args = _build_parser().parse_args(argv)
     handlers = {"solve": cmd_solve, "stoch": cmd_stoch, "batch": cmd_batch, "inter": cmd_inter}
     return handlers[args.cmd](args)
