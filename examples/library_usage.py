@@ -48,3 +48,16 @@ if len(jax.devices()) > 1:
     mesh = make_mesh(len(jax.devices()), 1)
     result = ot.simulate_batch(normalized, config, mesh=mesh)
     print("sharded solve:", result.any_solved)
+
+# 6. serving: same-shape instances reuse the compiled kernel (plus an
+# on-disk compilation cache across processes)
+from odesat_tpu.utils.cache import enable_compilation_cache
+from odesat_tpu.utils.generate import uf_instance
+
+enable_compilation_cache()
+for seed in range(3):
+    _, inst = ot.normalize_cnf_variables(uf_instance(100, seed=seed))
+    r = ot.simulate_batch(inst, ot.SolverConfig(
+        ode=ot.ODEConfig(step_size=0.01, steps=5000), batch_size=512, seed=seed))
+    print(f"instance {seed}: solved={r.any_solved} in {r.wall_time_s:.2f}s"
+          + (" (compile)" if seed == 0 else " (cached kernel)"))
