@@ -45,9 +45,10 @@ from odesat_tpu.constants import (
     GAMMA,
     XL_CAP_PER_CLAUSE,
 )
-from odesat_tpu.ops.rhs_pallas import _build_onehot_stacked, _pick_block
+from odesat_tpu.ops.rhs_pallas import _pick_block
 
 _INF = float("inf")
+_BIG = 1.0e9  # padding-slot clause value: loses every min, finite (inf*0 = NaN in the MXU)
 _VMEM_G_LIMIT = 8 * 1024 * 1024
 _JIT_CACHE = {}  # static shape signature -> jitted kernel (see make_fused_chunk)
 
@@ -102,9 +103,21 @@ def make_fused_chunk(
     # default silently truncates f32 matmul inputs to bf16)
     mm_precision = None if bf16 else jax.lax.Precision.HIGHEST
 
-    G_host = jnp.asarray(_build_onehot_stacked(fa, np.float32)).astype(mm_dtype)
-    sign_host = jnp.asarray(fa.sign.astype(np.float32))
-    mask_host = jnp.asarray(fa.lit_mask.astype(np.float32))
+    # sign-baked planes (same trick as ops/stream_pallas.py): plane k
+    # holds -q_i at the literal's variable row, so valk = v @ G_k + bias
+    # is the clause value directly (bias = 1, or 1 + BIG at padding) and
+    # the same plane scatters dv via the identity r = q_i*value_i/2
+    # (q_i^2 = 1, src/system.rs:73-77) with -1/2 folded into the hoisted
+    # per-clause coefficients.
+    G_np = np.zeros((K * Np, Mp), dtype=np.float32)
+    bias_np = np.full((K, Mp), 1.0 + _BIG, dtype=np.float32)
+    for k in range(K):
+        cols = np.arange(Mp)
+        on = fa.lit_mask[k] > 0
+        G_np[k * Np + fa.lit_var[k][on], cols[on]] = -fa.sign[k][on]
+        bias_np[k, cols[on]] = 1.0
+    G_host = jnp.asarray(G_np).astype(mm_dtype)
+    bias_host = jnp.asarray(bias_np)
     cmask_host = jnp.asarray(fa.clause_mask.astype(np.float32).reshape(1, Mp))
 
     cache_key = (
@@ -113,48 +126,45 @@ def make_fused_chunk(
     )
     jitted = _JIT_CACHE.get(cache_key)
     if jitted is not None:
-        return lambda state, dev=None: jitted(
-            state, G_host, sign_host, mask_host, cmask_host
-        )
+        return lambda state, dev=None: jitted(state, G_host, bias_host, cmask_host)
 
     def kernel(v_ref, xs_ref, xl_ref, dt_ref, done_ref,
-               g_ref, sign_ref, mask_ref, cmask_ref,
+               g_ref, bias_ref, cmask_ref,
                v_out, xs_out, xl_out, dt_out, done_out):
         cmask = cmask_ref[:]  # (1, Mp)
         cmask_on = cmask > 0
-        signs = [sign_ref[k : k + 1, :] for k in range(K)]
-        masks = [mask_ref[k : k + 1, :] > 0 for k in range(K)]
+        biases = [bias_ref[k : k + 1, :] for k in range(K)]
 
         def rhs(v, xs, xl):
+            v16 = v.astype(mm_dtype)
             vals = []
-            gathered = []
-            m1 = jnp.full(xs.shape, _INF, dtype=v.dtype)
-            m2 = jnp.full(xs.shape, _INF, dtype=v.dtype)
+            m1 = m2 = None
             for k in range(K):
-                gk = jnp.dot(
-                    v.astype(mm_dtype),
+                valk = jnp.dot(
+                    v16,
                     g_ref[k * Np : (k + 1) * Np, :],
                     preferred_element_type=v.dtype,
                     precision=mm_precision,
-                )
-                valk = jnp.where(masks[k], 1.0 - signs[k] * gk, _INF)
-                m2 = jnp.minimum(m2, jnp.maximum(m1, valk))
-                m1 = jnp.minimum(m1, valk)
+                ) + biases[k]
+                if m1 is None:
+                    m1 = valk
+                    m2 = jnp.full(valk.shape, _INF, dtype=v.dtype)
+                else:
+                    m2 = jnp.minimum(m2, jnp.maximum(m1, valk))
+                    m1 = jnp.minimum(m1, valk)
                 vals.append(valk)
-                gathered.append(gk)
 
-            c = jnp.where(cmask_on, 0.5 * m1, 0.0)
+            c = 0.5 * m1
+            # hoisted per-clause coefficients; the -1/2 cancels the
+            # sign-baked planes' -q_i so the scatter lands as +q_i/2*(.)
+            a = -0.5 * (xl * xs)
+            b = -0.5 * ((1.0 + zeta_c * xl) * (1.0 - xs))
             dv = jnp.zeros((v.shape[0], Np), dtype=v.dtype)
             for k in range(K):
                 is_min = vals[k] <= m1
-                g = jnp.where(
-                    masks[k], 0.5 * signs[k] * jnp.where(is_min, m2, m1), 0.0
-                )
-                gate = is_min if paper else vals[k] == (0.5 * m1)
-                r = jnp.where(gate & masks[k], 0.5 * (signs[k] - gathered[k]), 0.0)
-                contrib = jnp.where(
-                    masks[k], xl * xs * g + (1.0 + zeta_c * xl) * (1.0 - xs) * r, 0.0
-                )
+                minx = jnp.where(is_min, m2, m1)
+                gate = is_min if paper else vals[k] == c
+                contrib = a * minx + b * (vals[k] * gate.astype(v.dtype))
                 dv = dv + jax.lax.dot_general(
                     contrib.astype(mm_dtype),
                     g_ref[k * Np : (k + 1) * Np, :],
@@ -222,7 +232,7 @@ def make_fused_chunk(
         dt_out[:] = dt
         done_out[:] = done
 
-    def raw(state, G, sign, mask, cmask):
+    def raw(state, G, bias, cmask):
         B_in = state.v.shape[0]
         # Mosaic requires the trajectory block to be a multiple of 8 (or
         # the full array); pad odd batches with frozen dummy rows
@@ -261,7 +271,6 @@ def make_fused_chunk(
                 fixed_blk((Bb, 1)),
                 const_blk((K * Np, Mp)),
                 const_blk((K, Mp)),
-                const_blk((K, Mp)),
                 const_blk((1, Mp)),
             ],
             out_specs=[
@@ -290,7 +299,7 @@ def make_fused_chunk(
                 bytes_accessed=(B * (Np + 2 * Mp) * 4) * 2,
                 transcendentals=0,
             ),
-        )(state.v, state.xs, state.xl, dt_col, done_col, G, sign, mask, cmask)
+        )(state.v, state.xs, state.xl, dt_col, done_col, G, bias, cmask)
 
         from odesat_tpu.models.ode import ODEState
 
@@ -304,6 +313,4 @@ def make_fused_chunk(
 
     jitted = jax.jit(raw, donate_argnums=0 if donate else ())
     _JIT_CACHE[cache_key] = jitted
-    return lambda state, dev=None: jitted(
-        state, G_host, sign_host, mask_host, cmask_host
-    )
+    return lambda state, dev=None: jitted(state, G_host, bias_host, cmask_host)
