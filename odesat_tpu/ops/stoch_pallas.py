@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from odesat_tpu.cnf.arrays import FormulaArrays
 from odesat_tpu.constants import STOCH_ALPHA
-from odesat_tpu.ops.rhs_pallas import _build_onehot_stacked, _pick_block
+from odesat_tpu.ops.rhs_pallas import _pick_block
 
 XL_CAP = float(2**24)
 _JIT_CACHE = {}  # static shape signature -> jitted kernel
@@ -62,9 +62,20 @@ def make_fused_stoch_chunk(
     K, Mp = fa.lit_var.shape
     Np = fa.n_vars_padded
 
-    G_host = jnp.asarray(_build_onehot_stacked(fa, np.float32))
-    pos_host = jnp.asarray((fa.sign > 0).astype(np.float32))  # (K, Mp)
-    mask_host = jnp.asarray((fa.lit_mask > 0).astype(np.float32))
+    # polarity-baked planes (see _build_stoch_planes): lit_true =
+    # v @ G_k + bias_k exactly (positive literal -> +v, negated -> 1-v,
+    # padding -> 0); the per-slot sign array corrects the weight scatter
+    # through the same signed planes (q^2 = 1).
+    G_np = np.zeros((K * Np, Mp), dtype=np.float32)
+    bias_np = np.zeros((K, Mp), dtype=np.float32)
+    for k in range(K):
+        cols = np.arange(Mp)
+        on = fa.lit_mask[k] > 0
+        G_np[k * Np + fa.lit_var[k][on], cols[on]] = fa.sign[k][on]
+        bias_np[k, cols] = np.where(on & (fa.sign[k] < 0), 1.0, 0.0)
+    G_host = jnp.asarray(G_np)
+    bias_host = jnp.asarray(bias_np)
+    sign_host = jnp.asarray(fa.sign.astype(np.float32))  # 0 at padding slots
     cmask_host = jnp.asarray(fa.clause_mask.astype(np.float32).reshape(1, Mp))
     has_occ_host = jnp.asarray(
         (fa.occ_mask.sum(axis=-1) > 0).astype(np.float32).reshape(1, Np)
@@ -74,19 +85,19 @@ def make_fused_stoch_chunk(
     jitted = _JIT_CACHE.get(cache_key)
     if jitted is not None:
         return lambda state: jitted(
-            state, G_host, pos_host, mask_host, cmask_host, has_occ_host
+            state, G_host, bias_host, sign_host, cmask_host, has_occ_host
         )
 
     def kernel(seed_ref, v_ref, xl_ref, done_ref,
-               g_ref, pos_ref, mask_ref, cmask_ref, hasocc_ref,
+               g_ref, bias_ref, sign_ref, cmask_ref, hasocc_ref,
                v_out, xl_out, done_out):
         i = pl.program_id(0)
         block_seed = (seed_ref[0] + i * 0x632BE59B).astype(jnp.uint32)
 
         cmask = cmask_ref[:]  # (1, Mp)
         has_occ = hasocc_ref[:] > 0  # (1, Np)
-        poss = [pos_ref[k : k + 1, :] for k in range(K)]
-        masks = [mask_ref[k : k + 1, :] for k in range(K)]
+        biases = [bias_ref[k : k + 1, :] for k in range(K)]
+        signs = [sign_ref[k : k + 1, :] for k in range(K)]
 
         def uniform01(step, shape):
             """Counter-based uniforms in [0,1): murmur3 finalizer over
@@ -113,15 +124,13 @@ def make_fused_stoch_chunk(
             # clause satisfaction: literal true iff gathered value matches
             # polarity (reference: src/stoch.rs:20-25)
             sat = jnp.zeros(xl.shape, dtype=jnp.float32)
-            gathered = []
             for k in range(K):
-                gk = jnp.dot(
-                    v, g_ref[k * Np : (k + 1) * Np, :], preferred_element_type=jnp.float32
-                )
-                gathered.append(gk)
-                lit_true = jnp.where(poss[k] > 0, gk, 1.0 - gk) * masks[k]
+                lit_true = jnp.dot(
+                    v,
+                    g_ref[k * Np : (k + 1) * Np, :],
+                    preferred_element_type=jnp.float32,
+                ) + biases[k]
                 sat = jnp.maximum(sat, lit_true)
-            sat = jnp.minimum(sat, 1.0)  # 0/1
 
             # weight update (post-update weights feed the flips,
             # src/stoch.rs:47-51)
@@ -134,15 +143,16 @@ def make_fused_stoch_chunk(
             # per-variable totals via MXU: total_i = sum_{clauses with i} xl
             total = jnp.zeros((v.shape[0], Np), dtype=jnp.float32)
             unsat_w = jnp.zeros((v.shape[0], Np), dtype=jnp.float32)
+            unsat_f = 1.0 - sat
             for k in range(K):
-                wk = xl_new * masks[k]
+                wk = xl_new * signs[k]  # sign-corrected; 0 at padding
                 total = total + jax.lax.dot_general(
                     wk, g_ref[k * Np : (k + 1) * Np, :],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 unsat_w = unsat_w + jax.lax.dot_general(
-                    wk * (1.0 - sat), g_ref[k * Np : (k + 1) * Np, :],
+                    wk * unsat_f, g_ref[k * Np : (k + 1) * Np, :],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -164,7 +174,7 @@ def make_fused_stoch_chunk(
         xl_out[:] = xl
         done_out[:] = done
 
-    def raw(state, G, pos, mask, cmask, has_occ):
+    def raw(state, G, bias, sign, cmask, has_occ):
         from odesat_tpu.models.stoch import StochState
 
         B_in = state.v.shape[0]
@@ -214,7 +224,7 @@ def make_fused_stoch_chunk(
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024,  # room for 512-row blocks
             ),
-        )(seed, v, xl, done, G, pos, mask, cmask, has_occ)
+        )(seed, v, xl, done, G, bias, sign, cmask, has_occ)
 
         return StochState(
             v=v_o[:B_in] > 0.5,
@@ -226,7 +236,7 @@ def make_fused_stoch_chunk(
     jitted = jax.jit(raw, donate_argnums=0 if donate else ())
     _JIT_CACHE[cache_key] = jitted
     return lambda state: jitted(
-        state, G_host, pos_host, mask_host, cmask_host, has_occ_host
+        state, G_host, bias_host, sign_host, cmask_host, has_occ_host
     )
 
 
