@@ -57,3 +57,47 @@ def test_varnum_fallback_counts_used_variables():
 def test_literals_after_sentinel_ignored():
     f = parse_dimacs("p cnf 3 1\n1 2 0 3\n")
     assert f.clauses[0] == (Literal(1, False), Literal(2, False))
+
+
+def test_native_parser_matches_python_fuzz():
+    """Random DIMACS text (comments, blanks, odd spacing, SATLIB '%')
+    must parse identically through the C++ scanner and the Python
+    parser (reference quirks included: literals after the 0 sentinel
+    are ignored, blank lines are skipped)."""
+    import random
+
+    from odesat_tpu import native
+    from odesat_tpu.cnf.dimacs import parse_dimacs
+
+    if not native.is_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = random.Random(0)
+    for trial in range(20):
+        n_vars = rng.randint(1, 30)
+        lines = [f"c fuzz trial {trial}", f"p cnf {n_vars} 999"]
+        for _ in range(rng.randint(1, 40)):
+            roll = rng.random()
+            if roll < 0.1:
+                lines.append("")  # blank
+            elif roll < 0.2:
+                lines.append("c a comment  with   spaces")
+            else:
+                w = rng.randint(1, 4)
+                lits = [
+                    ("-" if rng.random() < 0.5 else "") + str(rng.randint(1, n_vars))
+                    for _ in range(w)
+                ]
+                sep = " " * rng.randint(1, 3)
+                lines.append(sep.join(lits) + sep + "0")
+        if rng.random() < 0.3:
+            lines.append("%")
+            lines.append("ignored after percent 0")
+        text = "\n".join(lines) + ("\n" if rng.random() < 0.5 else "")
+
+        py = parse_dimacs(text)
+        nat = native.parse_dimacs_native(text)
+        assert nat.varnum == py.varnum, text
+        assert [list(c) for c in nat.clauses] == [list(c) for c in py.clauses], text
