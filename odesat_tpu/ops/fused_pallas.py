@@ -45,7 +45,6 @@ from odesat_tpu.constants import (
     GAMMA,
     XL_CAP_PER_CLAUSE,
 )
-from odesat_tpu.ops.rhs_pallas import _pick_block
 
 _INF = float("inf")
 _BIG = 1.0e9  # padding-slot clause value: loses every min, finite (inf*0 = NaN in the MXU)
@@ -234,9 +233,14 @@ def make_fused_chunk(
 
     def raw(state, G, bias, cmask):
         B_in = state.v.shape[0]
-        # Mosaic requires the trajectory block to be a multiple of 8 (or
-        # the full array); pad odd batches with frozen dummy rows
-        pad = (-B_in) % 8
+        # pad odd batches up to a multiple of the trajectory block with
+        # frozen dummy rows — falling back to tiny blocks instead costs
+        # ~25x (measured: uf250 at B=7049 ran 8-row blocks at 1.2e6
+        # traj*steps/s vs 3.1e7 padded)
+        Bb = traj_block
+        while Bb > 8 and Bb > B_in:
+            Bb //= 2
+        pad = (-B_in) % Bb
         if pad:
             pad_row = lambda x, fill: jnp.concatenate(  # noqa: E731
                 [x, jnp.full((pad,) + x.shape[1:], fill, dtype=x.dtype)], axis=0
@@ -249,7 +253,6 @@ def make_fused_chunk(
                 done=pad_row(state.done, True),
             )
         B = B_in + pad
-        Bb = _pick_block(B, traj_block)
         grid = (B // Bb,)
         dt_col = state.dt.astype(jnp.float32).reshape(B, 1)
         done_col = state.done.astype(jnp.float32).reshape(B, 1)

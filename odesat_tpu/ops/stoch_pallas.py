@@ -178,7 +178,10 @@ def make_fused_stoch_chunk(
         from odesat_tpu.models.stoch import StochState
 
         B_in = state.v.shape[0]
-        pad = (-B_in) % 8
+        Bb = traj_block
+        while Bb > 8 and Bb > B_in:
+            Bb //= 2
+        pad = (-B_in) % Bb
         v = state.v.astype(jnp.float32)
         xl = state.xl.astype(jnp.float32)
         done = state.done.astype(jnp.float32).reshape(B_in, 1)
@@ -187,7 +190,6 @@ def make_fused_stoch_chunk(
             xl = jnp.concatenate([xl, jnp.ones((pad, Mp), jnp.float32)], axis=0)
             done = jnp.concatenate([done, jnp.ones((pad, 1), jnp.float32)], axis=0)
         B = B_in + pad
-        Bb = _pick_block(B, traj_block)
 
         key, sub = jax.random.split(state.key)
         seed = jax.random.randint(sub, (1,), 0, 2**31 - 1, dtype=jnp.int32).astype(
