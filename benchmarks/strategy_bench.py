@@ -53,7 +53,9 @@ def main():
         row = {"batch": batch}
         for strategy in STRATEGIES:
             try:
-                ode = ODEConfig(step_size=0.01, dv_strategy=strategy)
+                ode = ODEConfig(
+                    step_size=0.01, dv_strategy=strategy, matmul_dtype="bfloat16"
+                )
                 row[strategy] = round(rate(fa, ode, batch), 1)
             except Exception as e:  # noqa: BLE001 — report and continue
                 row[strategy] = f"error: {type(e).__name__}: {e}"[:120]

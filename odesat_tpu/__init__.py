@@ -20,6 +20,7 @@ from odesat_tpu.cnf import (
     CNFFormula,
     FormulaArrays,
     Literal,
+    bandwidth_reorder,
     compile_formula,
     cnf_to_dimacs,
     evaluate_cnf,
@@ -31,6 +32,7 @@ from odesat_tpu.models import ode, stoch
 from odesat_tpu.models.ode import SolveResult, simulate, simulate_batch
 from odesat_tpu.models.stoch import search
 from odesat_tpu.preprocess import preprocess_formula, reconstruct_witness
+from odesat_tpu.utils.cache import enable_compilation_cache
 from odesat_tpu.utils.config import ODEConfig, SolverConfig
 
 __version__ = "0.1.0"
@@ -42,9 +44,11 @@ __all__ = [
     "ODEConfig",
     "SolveResult",
     "SolverConfig",
+    "bandwidth_reorder",
     "cnf",
     "cnf_to_dimacs",
     "compile_formula",
+    "enable_compilation_cache",
     "evaluate_cnf",
     "models",
     "normalize_cnf_variables",
