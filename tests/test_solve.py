@@ -105,3 +105,44 @@ def test_seed_reproducibility(data_dir):
     r2 = simulate_batch(normalized, config)
     np.testing.assert_array_equal(r1.assignment, r2.assignment)
     assert r1.steps == r2.steps
+
+
+def test_wall_clock_budget_stops_unbounded_run(data_dir):
+    """hard.cnf is UNSAT; with no step budget the run would be unbounded —
+    the wall-clock budget must stop it (SURVEY.md §5 failure detection)."""
+    import time
+
+    from odesat_tpu.cnf import normalize_cnf_variables, parse_dimacs_file
+
+    formula = parse_dimacs_file(os.path.join(data_dir, "hard.cnf"))
+    _, normalized = normalize_cnf_variables(formula)
+    config = SolverConfig(
+        ode=ODEConfig(step_size=0.01),  # steps=None -> unbounded
+        batch_size=4,
+        seed=0,
+        chunk_steps=64,
+        wall_clock_budget_s=2.0,
+    )
+    t0 = time.perf_counter()
+    result = simulate_batch(normalized, config)
+    assert time.perf_counter() - t0 < 60.0  # budget + one chunk + compile
+    assert not result.any_solved
+
+
+def test_log_every_chunks_emits_progress(data_dir, caplog):
+    from odesat_tpu.cnf import normalize_cnf_variables, parse_dimacs_file
+
+    formula = parse_dimacs_file(os.path.join(data_dir, "hard.cnf"))
+    _, normalized = normalize_cnf_variables(formula)
+    config = SolverConfig(
+        ode=ODEConfig(step_size=0.01, steps=256),
+        batch_size=4,
+        seed=0,
+        chunk_steps=64,
+        log_every_chunks=1,
+    )
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="odesat_tpu"):
+        simulate_batch(normalized, config)
+    assert any("steps" in rec.message for rec in caplog.records)
