@@ -251,6 +251,7 @@ from odesat_tpu.ops.stream_pallas import (  # noqa: E402
     _GBUF_LIMIT,
     _G_HBM_LIMIT,
     _max_kb,
+    _span_aligned,
     _span_budgets,
 )
 
@@ -298,6 +299,8 @@ def _build_stoch_planes(fa: FormulaArrays, np_dtype):
 
 
 def stoch_stream_supported(fa: FormulaArrays, itemsize: int = 4) -> bool:
+    if not _span_aligned(fa):
+        return False
     max_rows, total_rows = _span_budgets(fa)
     gbuf = 2 * max_rows * SPAN * itemsize
     return gbuf <= _GBUF_LIMIT and total_rows * SPAN * itemsize <= _G_HBM_LIMIT

@@ -142,11 +142,19 @@ def _max_kb(fa: FormulaArrays) -> int:
     return max(kb for _, _, kb in fa.bucket_slices)
 
 
+def _span_aligned(fa: FormulaArrays) -> bool:
+    """The span iterator needs a 128-aligned clause axis (the default
+    clause_pad; tiny test pads like clause_pad=8 are not streamable)."""
+    return fa.n_clauses_padded % SPAN == 0 and all(
+        m0 % SPAN == 0 and (m1 - m0) % SPAN == 0 for m0, m1, _ in fa.bucket_slices
+    )
+
+
 def stream_supported(fa: FormulaArrays, itemsize: int = 4) -> bool:
     """True when the streaming kernel can run this formula: no unit
-    clauses (infinite gradients, see ops/rhs.py) and the staging buffers
-    / plane array fit their budgets."""
-    if fa.min_width < 2:
+    clauses (infinite gradients, see ops/rhs.py), a 128-aligned clause
+    axis, and the staging buffers / plane array fit their budgets."""
+    if fa.min_width < 2 or not _span_aligned(fa):
         return False
     max_rows, total_rows = _span_budgets(fa)
     gbuf = 2 * max_rows * SPAN * itemsize

@@ -151,3 +151,16 @@ def test_stream_windowed_locality():
     out = make_stream_chunk(fa, 0.05, ode, 10, interpret=True)(state0)
     np.testing.assert_allclose(np.asarray(out.v), np.asarray(ref.v), rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(out.xs), np.asarray(ref.xs), rtol=2e-4, atol=2e-5)
+
+
+def test_stream_rejects_non_span_aligned_pads():
+    """Formulas compiled with tiny clause pads (clause_pad < 128) are not
+    streamable — stream_supported must say so instead of crashing (found
+    via the 2-device multichip dry run, which pads to 8)."""
+    formula = random_ksat(6, 12, k=3, seed=8)
+    _, normalized = normalize_cnf_variables(formula)
+    fa = compile_formula(normalized, clause_pad=8, var_pad=8)
+    assert not stream_supported(fa)
+    from odesat_tpu.ops.stoch_pallas import stoch_stream_supported
+
+    assert not stoch_stream_supported(fa)
