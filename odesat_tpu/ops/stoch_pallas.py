@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from odesat_tpu.cnf.arrays import FormulaArrays
 from odesat_tpu.constants import STOCH_ALPHA
-from odesat_tpu.ops.rhs_pallas import _pick_block
+
 
 XL_CAP = float(2**24)
 _JIT_CACHE = {}  # static shape signature -> jitted kernel
