@@ -104,6 +104,21 @@ def _build_parser() -> argparse.ArgumentParser:
     batch.add_argument("-b", "--batch-size", type=int, required=True)
     batch.add_argument("-l", "--learning-rate", type=float, default=None)
 
+    gen = sub.add_parser(
+        "gen", help="Generate a random CNF instance (benchmark families)"
+    )
+    gen.add_argument("-o", "--output", required=True, help="output DIMACS file")
+    gen.add_argument("-n", "--n-vars", type=int, required=True)
+    gen.add_argument("-m", "--n-clauses", type=int, default=None,
+                     help="default: round(4.26 * n)")
+    gen.add_argument("-k", "--clause-width", type=int, default=3)
+    gen.add_argument("--seed", type=int, default=0)
+    gen.add_argument("--planted", action="store_true",
+                     help="plant a hidden satisfying assignment (guaranteed SAT)")
+    gen.add_argument("--locality", type=int, default=None,
+                     help="draw each clause's variables from a window this wide "
+                     "(locally-structured instances; implies --planted)")
+
     inter = sub.add_parser("inter", help="Run a batch of interlaced simulations")
     _add_common(inter)
     inter.add_argument("-t", "--tolerance", type=float, default=None)
@@ -298,12 +313,38 @@ def cmd_inter(args) -> int:
     return 0
 
 
+def cmd_gen(args) -> int:
+    from odesat_tpu.cnf import cnf_to_dimacs
+    from odesat_tpu.utils.generate import random_ksat, random_local_ksat
+
+    m = args.n_clauses if args.n_clauses is not None else int(round(4.26 * args.n_vars))
+    if args.locality is not None:
+        formula = random_local_ksat(
+            args.n_vars, m, k=args.clause_width, locality=args.locality,
+            seed=args.seed, planted=True,
+        )
+    else:
+        formula = random_ksat(
+            args.n_vars, m, k=args.clause_width, seed=args.seed, planted=args.planted
+        )
+    with open(args.output, "w", encoding="utf-8") as fh:
+        fh.write(cnf_to_dimacs(formula))
+    print(f"wrote {args.output}: {formula.varnum} vars, {formula.num_clauses} clauses")
+    return 0
+
+
 def main(argv=None) -> int:
     from odesat_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()  # persist compiled kernels across runs
     args = _build_parser().parse_args(argv)
-    handlers = {"solve": cmd_solve, "stoch": cmd_stoch, "batch": cmd_batch, "inter": cmd_inter}
+    handlers = {
+        "solve": cmd_solve,
+        "stoch": cmd_stoch,
+        "batch": cmd_batch,
+        "inter": cmd_inter,
+        "gen": cmd_gen,
+    }
     return handlers[args.cmd](args)
 
 

@@ -149,3 +149,15 @@ def test_cli_var_order_and_matmul_dtype(data_dir, capsys):
     captured = capsys.readouterr().out
     assert rc == 0
     assert "Checking if solution vector satisfies formula: true" in captured
+
+
+def test_cli_gen_roundtrip(tmp_path, capsys):
+    """gen writes a solvable DIMACS instance that solve verifies."""
+    out = str(tmp_path / "gen.cnf")
+    rc = main(["gen", "-o", out, "-n", "30", "--planted", "--seed", "7"])
+    assert rc == 0 and os.path.exists(out)
+    capsys.readouterr()
+    rc = main(["solve", "-f", out, "-s", "0.01", "-n", "4000", "--seed", "0"])
+    captured = capsys.readouterr().out
+    assert rc == 0
+    assert "Checking if solution vector satisfies formula: true" in captured
