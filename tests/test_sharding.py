@@ -167,3 +167,36 @@ def test_stream_kernel_shards_as_dp():
         np.asarray(out.v), np.asarray(ref.v), rtol=2e-4, atol=2e-5
     )
     np.testing.assert_array_equal(np.asarray(out.done), np.asarray(ref.done))
+
+
+def test_make_pod_mesh_layout_and_solve():
+    """Pod-mesh helper: clause axis filled from same-process devices
+    (ICI-local psum), traj axis spans the rest; a sharded solve runs."""
+    import jax
+
+    from odesat_tpu.parallel.multihost import initialize_distributed, make_pod_mesh
+
+    initialize_distributed()  # single-process no-op
+    mesh = make_pod_mesh(n_clause=2)
+    assert mesh.axis_names == ("traj", "clause")
+    assert mesh.shape["traj"] * mesh.shape["clause"] == len(jax.devices())
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_pod_mesh(n_clause=3)  # 8 devices not divisible
+
+    from odesat_tpu.cnf import normalize_cnf_variables
+    from odesat_tpu.models.ode import simulate_batch
+    from odesat_tpu.utils.config import ODEConfig, SolverConfig
+    from odesat_tpu.utils.generate import random_ksat
+
+    _, norm = normalize_cnf_variables(random_ksat(24, 72, k=3, seed=2, planted=True))
+    cfg = SolverConfig(
+        ode=ODEConfig(step_size=0.02, steps=512),
+        batch_size=16,
+        seed=0,
+        chunk_steps=64,
+        bucket="off",
+    )
+    result = simulate_batch(norm, cfg, mesh=mesh)
+    assert result.assignment.shape[0] == 16
