@@ -309,7 +309,7 @@ def stoch_stream_supported(fa: FormulaArrays, itemsize: int = 4) -> bool:
 def make_stream_stoch_chunk(
     fa: FormulaArrays,
     chunk_steps: int,
-    traj_block: int = 256,
+    traj_block: int = 512,
     matmul_dtype: str = "float32",
     interpret: bool | None = None,
     donate: bool = False,
