@@ -117,7 +117,14 @@ class SolveResult:
 
 
 def _dtype(ode: ODEConfig):
-    return jnp.float64 if ode.dtype == "float64" else jnp.float32
+    if ode.dtype == "float64":
+        # without x64, jnp silently truncates f64 arrays to f32 — honor
+        # the reference-parity dtype the user asked for (reference is
+        # f64 throughout, src/system.rs:6-11)
+        if not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
+        return jnp.float64
+    return jnp.float32
 
 
 def init_state(
