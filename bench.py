@@ -35,13 +35,18 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def measure_baseline(normalized) -> float:
-    """Single-core CPU steps/s on the same instance (C++; measured live)."""
+    """Single-core CPU steps/s on the same instance (C++; measured live).
+    Best of three — the host CPU is shared, so single measurements swing
+    with load and would jitter the vs_baseline ratio."""
     try:
         from odesat_tpu import native
 
         if native.is_available():
-            return native.baseline_steps_per_sec(
-                normalized, steps=20000, dt=0.01, zeta=0.001
+            return max(
+                native.baseline_steps_per_sec(
+                    normalized, steps=20000, dt=0.01, zeta=0.001
+                )
+                for _ in range(3)
             )
     except Exception:  # noqa: BLE001 — benchmark must not die on baseline
         pass
