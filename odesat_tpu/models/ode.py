@@ -422,7 +422,14 @@ def simulate_batch(
     # chunk=1000 -> 2e6 at chunk=50000 (early-exit granularity coarsens
     # accordingly — tens of ms of wasted steps at these rates).
     chunk_steps = config.chunk_steps
-    if config.batch_size < 1024 and (ode.steps is None or ode.steps > chunk_steps):
+    wants_chunk_cadence = bool(
+        config.checkpoint_every_chunks or config.log_every_chunks
+    )
+    if (
+        not wants_chunk_cadence  # chunk growth would defeat the cadence flags
+        and config.batch_size < 1024
+        and (ode.steps is None or ode.steps > chunk_steps)
+    ):
         chunk_steps = max(
             chunk_steps, min(32768, 65536 // max(config.batch_size, 1))
         )

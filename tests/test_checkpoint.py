@@ -52,3 +52,28 @@ def test_resume_from_checkpoint(tmp_path, data_dir):
     r2 = simulate_batch(normalized, resumed)
     # snapshot taken at a 50-step boundary; resumed run continues to 200
     assert r2.steps == 200
+
+
+def test_checkpoint_cadence_respected_for_small_batches(tmp_path, data_dir):
+    """The small-batch chunk-growth heuristic must not defeat explicit
+    checkpoint cadence (regression: B=8 runs grew the chunk to the whole
+    budget, so no checkpoint was ever written)."""
+    import os
+
+    from odesat_tpu.cnf import normalize_cnf_variables, parse_dimacs_file
+    from odesat_tpu.models.ode import simulate_batch
+    from odesat_tpu.utils.config import ODEConfig, SolverConfig
+
+    formula = parse_dimacs_file(os.path.join(data_dir, "hard.cnf"))
+    _, normalized = normalize_cnf_variables(formula)
+    path = str(tmp_path / "cadence.npz")
+    config = SolverConfig(
+        ode=ODEConfig(step_size=0.01, steps=512),
+        batch_size=8,
+        seed=5,
+        chunk_steps=128,
+        checkpoint_path=path,
+        checkpoint_every_chunks=2,
+    )
+    simulate_batch(normalized, config)
+    assert os.path.exists(path)
