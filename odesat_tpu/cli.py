@@ -74,6 +74,7 @@ def _add_common(p: argparse.ArgumentParser, batch_required: bool = False) -> Non
     p.add_argument("--profile-dir", default=None, help="jax.profiler trace directory")
     p.add_argument("--checkpoint", default=None, help="state snapshot path (.npz)")
     p.add_argument("--checkpoint-every", type=int, default=0, help="chunks between snapshots")
+    p.add_argument("--resume", default=None, help="resume a solve from a snapshot (.npz)")
     p.add_argument("--log-every", type=int, default=0, help="chunks between progress logs")
     p.add_argument("--wall-clock-budget", type=float, default=None, help="seconds budget")
 
@@ -149,6 +150,7 @@ def _config_from_args(args, batch_size: int = 1) -> SolverConfig:
         chunk_steps=args.chunk_steps,
         checkpoint_path=args.checkpoint,
         checkpoint_every_chunks=args.checkpoint_every,
+        resume_from=getattr(args, "resume", None),
         profile_dir=args.profile_dir,
         log_every_chunks=args.log_every,
         wall_clock_budget_s=args.wall_clock_budget,
