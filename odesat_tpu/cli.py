@@ -162,7 +162,11 @@ def _mesh_from_args(args):
         return None
     from odesat_tpu.parallel.mesh import make_mesh
 
-    return make_mesh(args.devices, args.clause_shards)
+    try:
+        return make_mesh(args.devices, args.clause_shards)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        raise SystemExit(2) from None
 
 
 def _finish(mapped_values: dict, formula, output) -> None:
