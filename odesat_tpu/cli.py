@@ -200,7 +200,11 @@ def _load(args):
                 return native.parse_dimacs_native(fh.read())
     except Exception:  # noqa: BLE001 — fall back to the Python parser
         pass
-    return parse_dimacs_file(args.input)
+    try:
+        return parse_dimacs_file(args.input)
+    except ValueError as e:
+        print(f"error: malformed DIMACS in {args.input}: {e}", file=sys.stderr)
+        raise SystemExit(2) from None
 
 
 def cmd_solve(args) -> int:
