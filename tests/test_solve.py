@@ -146,3 +146,43 @@ def test_log_every_chunks_emits_progress(data_dir, caplog):
     with caplog.at_level(logging.INFO, logger="odesat_tpu"):
         simulate_batch(normalized, config)
     assert any("steps" in rec.message for rec in caplog.records)
+
+
+def test_full_pipeline_matches_brute_force_oracle():
+    """Property: on random tiny formulas, the full pipeline (preprocess ->
+    normalize -> solve -> witness reconstruction -> verify) finds a
+    verifying assignment exactly when one exists (brute-force oracle);
+    UNSAT instances must never produce a 'true' verdict."""
+    import numpy as np
+
+    from odesat_tpu.cnf import (
+        evaluate_cnf,
+        map_values_by_indices,
+        normalize_cnf_variables,
+    )
+    from odesat_tpu.preprocess import preprocess_formula, reconstruct_witness
+    from tests.conftest import brute_force_sat, random_formula
+
+    rng = np.random.default_rng(3)
+    sat_checked = unsat_checked = 0
+    for trial in range(12):
+        formula = random_formula(rng, n_vars=8, n_clauses=18, max_width=3, min_width=2)
+        oracle = brute_force_sat(formula)
+        reduced, trace = preprocess_formula(formula, 7.0)
+        if any(len(c) == 0 for c in reduced.clauses):
+            continue  # preprocessing cannot emit empty clauses, but guard
+        var_mapping, normalized = normalize_cnf_variables(reduced)
+        cfg = SolverConfig(
+            ode=ODEConfig(step_size=0.02, steps=4000), batch_size=64, seed=trial
+        )
+        result = simulate_batch(normalized, cfg)
+        assignment = map_values_by_indices(var_mapping, result.best_assignment())
+        reconstruct_witness(assignment, trace)
+        verified = evaluate_cnf(assignment, formula)
+        if oracle is None:
+            assert not verified, f"trial {trial}: verified 'SAT' on an UNSAT formula"
+            unsat_checked += 1
+        else:
+            assert verified, f"trial {trial}: failed to solve a SAT formula"
+            sat_checked += 1
+    assert sat_checked >= 3 and unsat_checked >= 1  # both branches exercised
