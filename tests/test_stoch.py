@@ -140,3 +140,42 @@ def test_fused_stoch_freeze(data_dir):
     assert np.asarray(out.done).all()
     out2 = fused(out)
     np.testing.assert_array_equal(np.asarray(out2.v), np.asarray(out.v))
+
+
+def test_stoch_pipeline_matches_brute_force_oracle():
+    """Same end-to-end property for the stochastic engine: verify exactly
+    when a satisfying assignment exists (tiny random formulas)."""
+    import numpy as np
+
+    from odesat_tpu.cnf import (
+        evaluate_cnf,
+        map_values_by_indices,
+        normalize_cnf_variables,
+    )
+    from odesat_tpu.models.stoch import search
+    from odesat_tpu.preprocess import preprocess_formula, reconstruct_witness
+    from odesat_tpu.utils.config import ODEConfig, SolverConfig
+    from tests.conftest import brute_force_sat, random_formula
+
+    rng = np.random.default_rng(11)
+    sat_checked = unsat_checked = 0
+    for trial in range(8):
+        formula = random_formula(rng, n_vars=8, n_clauses=18, max_width=3, min_width=2)
+        oracle = brute_force_sat(formula)
+        reduced, trace = preprocess_formula(formula, 7.0)
+        var_mapping, normalized = normalize_cnf_variables(reduced)
+        cfg = SolverConfig(
+            ode=ODEConfig(steps=4000), batch_size=32, seed=trial, chunk_steps=256
+        )
+        result = search(normalized, cfg)
+        idx = result.solved_index if result.solved_index is not None else 0
+        assignment = map_values_by_indices(var_mapping, result.assignment[idx])
+        reconstruct_witness(assignment, trace)
+        verified = evaluate_cnf(assignment, formula)
+        if oracle is None:
+            assert not verified, f"trial {trial}: stoch 'verified' an UNSAT formula"
+            unsat_checked += 1
+        else:
+            assert verified, f"trial {trial}: stoch failed a SAT formula"
+            sat_checked += 1
+    assert sat_checked >= 2 and unsat_checked >= 1
