@@ -177,10 +177,9 @@ def make_stream_chunk(
     cached on the static span layout, so same-shape instances compile
     once (see fused_pallas.make_fused_chunk).
 
-    ``traj_block`` defaults to 512 for the fixed integrator (throughput
-    saturates there: 1.64e6 vs 1.54e6 traj*steps/s at 256 on the n=1k
-    preprocessed benchmark) and 256 for adaptive (whose 8 staging
-    channels double the VMEM footprint)."""
+    ``traj_block`` defaults to 512 (throughput saturates there for both
+    integrators on the n=1k preprocessed benchmark: fixed 2.0e6,
+    adaptive 9.6e5 traj*steps/s — +17% over 256 for adaptive)."""
     itemsize = 2 if getattr(ode, "matmul_dtype", "float32") == "bfloat16" else 4
     if not stream_supported(fa, itemsize):
         raise ValueError(
@@ -190,7 +189,7 @@ def make_stream_chunk(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if traj_block is None:
-        traj_block = 512 if ode.step_size is not None else 256
+        traj_block = 512
 
     K, Mp = fa.lit_var.shape
     Np = fa.n_vars_padded
