@@ -105,6 +105,17 @@ def _build_parser() -> argparse.ArgumentParser:
     batch.add_argument("-b", "--batch-size", type=int, required=True)
     batch.add_argument("-l", "--learning-rate", type=float, default=None)
 
+    hybrid = sub.add_parser(
+        "hybrid", help="Race the ODE and stochastic engines (portfolio)"
+    )
+    _add_common(hybrid)
+    hybrid.add_argument("-t", "--tolerance", type=float, default=None)
+    hybrid.add_argument("-n", "--step-number", type=int, default=None)
+    hybrid.add_argument("-s", "--step-size", type=float, default=None)
+    hybrid.add_argument("-b", "--batch-size", type=int, default=256)
+    hybrid.add_argument("-l", "--learning-rate", type=float, default=None)
+    hybrid.add_argument("-r", "--ctv-ratio", type=float, default=None)
+
     gen = sub.add_parser(
         "gen", help="Generate a random CNF instance (benchmark families)"
     )
@@ -323,6 +334,31 @@ def cmd_inter(args) -> int:
     return 0
 
 
+def cmd_hybrid(args) -> int:
+    """solve-style pipeline with both engines racing (no reference
+    counterpart; preprocessing + witness reconstruction as in solve)."""
+    formula = _load(args)
+    config = _config_from_args(args, batch_size=args.batch_size)
+
+    print("Preprocessing CNF formula...")
+    reduced, trace = preprocess_formula(formula, config.ctv_ratio)
+    print(f"Clauses: {reduced.num_clauses} | Vars: {reduced.varnum}")
+    var_mapping, normalized = normalize_cnf_variables(reduced)
+    if args.var_order == "bandwidth":
+        var_mapping, normalized = bandwidth_reorder(var_mapping, normalized)
+
+    from odesat_tpu.models.hybrid import hybrid_search
+
+    print("Racing ODE and stochastic engines...")
+    result = hybrid_search(normalized, config)
+    print(f"Winner: {result.engine} after {result.steps} steps per engine "
+          f"({result.wall_time_s:.2f}s)")
+    mapped_values = map_values_by_indices(var_mapping, result.assignment)
+    reconstruct_witness(mapped_values, trace)
+    _finish(mapped_values, formula, args.output)
+    return 0
+
+
 def cmd_gen(args) -> int:
     from odesat_tpu.cnf import cnf_to_dimacs
     from odesat_tpu.utils.generate import random_ksat, random_local_ksat
@@ -353,6 +389,7 @@ def main(argv=None) -> int:
         "stoch": cmd_stoch,
         "batch": cmd_batch,
         "inter": cmd_inter,
+        "hybrid": cmd_hybrid,
         "gen": cmd_gen,
     }
     return handlers[args.cmd](args)

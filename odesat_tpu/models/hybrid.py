@@ -1,0 +1,118 @@
+"""Hybrid portfolio: race the ODE and stochastic engines on one formula.
+
+No reference counterpart — the reference picks one engine per run
+(`solve`/`inter` vs `stoch`). The two engines have complementary
+strengths (the ODE excels on dense preprocessed instances, the
+clause-weighted local search on others), and on a TPU both are chunked
+device dispatches, so interleaving them costs nothing but the dispatch
+slots: run an ODE chunk, then a stoch chunk, stop as soon as either
+batch satisfies every clause. Each engine keeps its own batch and PRNG
+stream; the step budget applies to each engine independently.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import numpy as np
+
+from odesat_tpu.cnf.arrays import FormulaArrays, compile_formula
+from odesat_tpu.models.ode import (
+    formula_device,
+    init_state,
+    make_chunk_runner,
+    _readout,
+)
+from odesat_tpu.models.stoch import init_stoch_state, make_stoch_chunk_runner
+from odesat_tpu.utils.config import SolverConfig
+
+
+@dataclass
+class HybridResult:
+    engine: str  # "ode" | "stoch" | "none"
+    assignment: np.ndarray  # (n_vars,) bool — winner's first satisfied row
+    solved: bool
+    steps: int  # steps run per engine
+    wall_time_s: float = 0.0
+
+
+def hybrid_search(
+    formula_or_arrays,
+    config: Optional[SolverConfig] = None,
+    key: Optional[jax.Array] = None,
+) -> HybridResult:
+    """Interleave ODE and stochastic chunks until either engine's batch
+    reaches allsat, the per-engine step budget runs out, or the
+    wall-clock budget expires."""
+    config = config or SolverConfig()
+    if isinstance(formula_or_arrays, FormulaArrays):
+        fa = formula_or_arrays
+    else:
+        fa = compile_formula(
+            formula_or_arrays,
+            clause_pad=config.clause_pad,
+            var_pad=config.var_pad,
+            window_sort=config.window_sort,
+        )
+    ode = config.ode
+    zeta = ode.resolve_zeta(fa.density)
+    if key is None:
+        seed = (
+            config.seed
+            if config.seed is not None
+            else int.from_bytes(__import__("os").urandom(4), "little")
+        )
+        key = jax.random.PRNGKey(seed)
+    k_ode, k_stoch = jax.random.split(key)
+
+    chunk = config.chunk_steps
+    ode_runner = make_chunk_runner(fa, zeta, ode, chunk)
+    stoch_runner = make_stoch_chunk_runner(
+        fa, chunk, matmul_dtype=ode.matmul_dtype
+    )
+    dev = formula_device(fa)
+    ode_state = init_state(fa, config.batch_size, k_ode, ode)
+    stoch_state = init_stoch_state(fa, config.batch_size, k_stoch)
+
+    budget = ode.steps
+    steps = 0
+    t0 = time.perf_counter()
+    while budget is None or steps < budget:
+        ode_state = ode_runner(ode_state, dev)
+        stoch_state = stoch_runner(stoch_state)
+        steps += chunk
+        ode_done = np.asarray(ode_state.done)
+        if ode_done.any():
+            idx = int(np.flatnonzero(ode_done)[0])
+            return HybridResult(
+                engine="ode",
+                assignment=_readout(ode_state, fa.n_vars)[idx],
+                solved=True,
+                steps=steps,
+                wall_time_s=time.perf_counter() - t0,
+            )
+        stoch_done = np.asarray(stoch_state.done)
+        if stoch_done.any():
+            idx = int(np.flatnonzero(stoch_done)[0])
+            return HybridResult(
+                engine="stoch",
+                assignment=np.asarray(stoch_state.v)[idx, : fa.n_vars],
+                solved=True,
+                steps=steps,
+                wall_time_s=time.perf_counter() - t0,
+            )
+        if (
+            config.wall_clock_budget_s is not None
+            and time.perf_counter() - t0 > config.wall_clock_budget_s
+        ):
+            break
+    return HybridResult(
+        engine="none",
+        assignment=_readout(ode_state, fa.n_vars)[0],
+        solved=False,
+        steps=steps,
+        wall_time_s=time.perf_counter() - t0,
+    )

@@ -161,3 +161,27 @@ def test_cli_gen_roundtrip(tmp_path, capsys):
     captured = capsys.readouterr().out
     assert rc == 0
     assert "Checking if solution vector satisfies formula: true" in captured
+
+
+def test_cli_hybrid_small(data_dir, capsys):
+    rc = main(
+        [
+            "hybrid",
+            "-f",
+            os.path.join(data_dir, "small.cnf"),
+            "-s",
+            "0.01",
+            "-n",
+            "2000",
+            "-b",
+            "32",
+            "--seed",
+            "0",
+            "--chunk-steps",
+            "128",
+        ]
+    )
+    captured = capsys.readouterr().out
+    assert rc == 0
+    assert "Winner:" in captured
+    assert "Checking if solution vector satisfies formula: true" in captured
