@@ -29,6 +29,7 @@ from odesat_tpu.cnf import (
     render_variable_map,
 )
 from odesat_tpu.models import ode, stoch
+from odesat_tpu.models.hybrid import hybrid_search
 from odesat_tpu.models.ode import SolveResult, simulate, simulate_batch
 from odesat_tpu.models.stoch import search
 from odesat_tpu.preprocess import preprocess_formula, reconstruct_witness
