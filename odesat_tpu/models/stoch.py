@@ -189,19 +189,30 @@ def search(
         key = jax.random.PRNGKey(seed)
 
     state = init_stoch_state(fa, config.batch_size, key)
+    chunk_steps = config.chunk_steps
     runner = make_stoch_chunk_runner(
-        fa, config.chunk_steps, matmul_dtype=config.ode.matmul_dtype
+        fa, chunk_steps, matmul_dtype=config.ode.matmul_dtype
     )
     tail_runner = None
 
     budget = config.ode.steps
+    # escalate the chunk once a run outlives the early-exit window
+    # (same rationale as models/ode.py: chunk boundaries cost a host
+    # round trip each)
+    GROW_AFTER = 8
+    big_chunk = min(chunk_steps * 16, 32768)
+    if budget:
+        big_chunk = min(big_chunk, budget)
+    if big_chunk <= chunk_steps:
+        big_chunk = 0
+    chunks = 0
     steps_run = 0
     t0 = time.perf_counter()
     while True:
         remaining = None if budget is None else budget - steps_run
         if remaining is not None and remaining <= 0:
             break
-        if remaining is not None and remaining < config.chunk_steps:
+        if remaining is not None and remaining < chunk_steps:
             if tail_runner is None:
                 tail_runner = make_stoch_chunk_runner(
                     fa, remaining, matmul_dtype=config.ode.matmul_dtype
@@ -210,7 +221,16 @@ def search(
             steps_run += remaining
         else:
             state = runner(state)
-            steps_run += config.chunk_steps
+            steps_run += chunk_steps
+        chunks += 1
+        if big_chunk and chunks == GROW_AFTER:
+            remaining_after = None if budget is None else budget - steps_run
+            if remaining_after is None or remaining_after > big_chunk:
+                runner = make_stoch_chunk_runner(
+                    fa, big_chunk, matmul_dtype=config.ode.matmul_dtype
+                )
+                chunk_steps = big_chunk
+            big_chunk = 0
 
         done = np.asarray(state.done)
         if done.any():
