@@ -144,7 +144,9 @@ def make_stoch_chunk_runner(
             fused == "on" or jax.default_backend() == "tpu"
         ):
             # already jitted inside (shape-cached; donated state)
-            return make_fused_stoch_chunk(fa, chunk_steps, donate=True)
+            return make_fused_stoch_chunk(
+                fa, chunk_steps, donate=True, matmul_dtype=matmul_dtype
+            )
         itemsize = 2 if matmul_dtype == "bfloat16" else 4
         if stoch_stream_supported(fa, itemsize) and (
             fused == "on" or jax.default_backend() == "tpu"

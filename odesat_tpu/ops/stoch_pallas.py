@@ -49,15 +49,24 @@ def make_fused_stoch_chunk(
     traj_block: int = 512,
     interpret: bool | None = None,
     donate: bool = False,
+    matmul_dtype: str = "float32",
 ):
     """Build ``fn(state: StochState) -> StochState`` advancing every chain
     ``chunk_steps`` steps in one kernel launch. Incidence arrays ride as
     jit arguments; the jitted kernel is cached on the static shape
-    signature (compile once per instance family)."""
+    signature (compile once per instance family).
+
+    ``matmul_dtype="bfloat16"``: clause evaluation stays exact (0/1
+    assignment x +-1 planes), only the weight sums round to ~8-bit
+    relative — flip probabilities shift slightly, solutions remain
+    oracle-verified."""
     if not stoch_fused_supported(fa):
         raise ValueError("stoch fused kernel: one-hot block exceeds VMEM")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    bf16 = matmul_dtype == "bfloat16"
+    mm_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    mm_precision = None if bf16 else jax.lax.Precision.HIGHEST
 
     K, Mp = fa.lit_var.shape
     Np = fa.n_vars_padded
@@ -73,7 +82,7 @@ def make_fused_stoch_chunk(
         on = fa.lit_mask[k] > 0
         G_np[k * Np + fa.lit_var[k][on], cols[on]] = fa.sign[k][on]
         bias_np[k, cols] = np.where(on & (fa.sign[k] < 0), 1.0, 0.0)
-    G_host = jnp.asarray(G_np)
+    G_host = jnp.asarray(G_np).astype(mm_dtype)
     bias_host = jnp.asarray(bias_np)
     sign_host = jnp.asarray(fa.sign.astype(np.float32))  # 0 at padding slots
     cmask_host = jnp.asarray(fa.clause_mask.astype(np.float32).reshape(1, Mp))
@@ -81,7 +90,9 @@ def make_fused_stoch_chunk(
         (fa.occ_mask.sum(axis=-1) > 0).astype(np.float32).reshape(1, Np)
     )
 
-    cache_key = ("stoch_fused", Np, Mp, K, chunk_steps, traj_block, interpret, donate)
+    cache_key = (
+        "stoch_fused", Np, Mp, K, chunk_steps, traj_block, interpret, donate, bf16
+    )
     jitted = _JIT_CACHE.get(cache_key)
     if jitted is not None:
         return lambda state: jitted(
@@ -124,11 +135,13 @@ def make_fused_stoch_chunk(
             # clause satisfaction: literal true iff gathered value matches
             # polarity (reference: src/stoch.rs:20-25)
             sat = jnp.zeros(xl.shape, dtype=jnp.float32)
+            v16 = v.astype(mm_dtype)
             for k in range(K):
                 lit_true = jnp.dot(
-                    v,
+                    v16,
                     g_ref[k * Np : (k + 1) * Np, :],
                     preferred_element_type=jnp.float32,
+                    precision=mm_precision,
                 ) + biases[k]
                 sat = jnp.maximum(sat, lit_true)
 
@@ -147,14 +160,16 @@ def make_fused_stoch_chunk(
             for k in range(K):
                 wk = xl_new * signs[k]  # sign-corrected; 0 at padding
                 total = total + jax.lax.dot_general(
-                    wk, g_ref[k * Np : (k + 1) * Np, :],
+                    wk.astype(mm_dtype), g_ref[k * Np : (k + 1) * Np, :],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=mm_precision,
                 )
                 unsat_w = unsat_w + jax.lax.dot_general(
-                    wk * unsat_f, g_ref[k * Np : (k + 1) * Np, :],
+                    (wk * unsat_f).astype(mm_dtype), g_ref[k * Np : (k + 1) * Np, :],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=mm_precision,
                 )
 
             u = uniform01(t, total.shape)
