@@ -83,6 +83,17 @@ def _build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="odesat_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
 
+    def _add_dt_mode(p):
+        p.add_argument(
+            "--dt-mode",
+            choices=["per-trajectory", "shared"],
+            default="per-trajectory",
+            help="adaptive-dt coupling across the batch: 'shared' adapts one "
+            "dt from the batch-max error like the reference inter mode "
+            "(src/system.rs:314); 'per-trajectory' is the default and the "
+            "paper's intent",
+        )
+
     solve = sub.add_parser("solve", help="Run a single simulation")
     _add_common(solve)
     solve.add_argument("-t", "--tolerance", type=float, default=None)
@@ -104,6 +115,7 @@ def _build_parser() -> argparse.ArgumentParser:
     batch.add_argument("-s", "--step-size", type=float, default=None)
     batch.add_argument("-b", "--batch-size", type=int, required=True)
     batch.add_argument("-l", "--learning-rate", type=float, default=None)
+    _add_dt_mode(batch)
 
     hybrid = sub.add_parser(
         "hybrid", help="Race the ODE and stochastic engines (portfolio)"
@@ -138,6 +150,7 @@ def _build_parser() -> argparse.ArgumentParser:
     inter.add_argument("-s", "--step-size", type=float, default=None)
     inter.add_argument("-b", "--batch-size", type=int, required=True)
     inter.add_argument("-l", "--learning-rate", type=float, default=None)
+    _add_dt_mode(inter)
 
     return parser
 
@@ -152,6 +165,7 @@ def _config_from_args(args, batch_size: int = 1) -> SolverConfig:
         dtype=args.dtype,
         dv_strategy=args.dv_strategy,
         matmul_dtype=args.matmul_dtype,
+        dt_mode=getattr(args, "dt_mode", "per-trajectory"),
     )
     return SolverConfig(
         ode=ode,
@@ -281,11 +295,21 @@ def cmd_batch(args) -> int:
 
     fa = compile_formula(normalized, clause_pad=config.clause_pad, var_pad=config.var_pad)
     verified_holder = {}
+    progress = {"chunks": 0}
 
     def harvest(state) -> bool:
         # oracle-verified early exit: the reference gates batch termination
         # on the verifier, not the allsat flag (src/main.rs:302-307)
         done = np.asarray(state.done)
+        # \r-style progress like the reference's per-trial line
+        # (src/main.rs:279); trials run in parallel here, so the line
+        # reports converged trajectories instead of a serial trial index
+        progress["chunks"] += 1
+        print(
+            f"\rRunning batch: {int(done.sum())}/{done.size} trajectories converged",
+            end="",
+            flush=True,
+        )
         for idx in np.flatnonzero(done):
             values = np.asarray(state.v[idx, : fa.n_vars] > 0.0)
             mapped = map_values_by_indices(var_mapping, values)
@@ -297,6 +321,8 @@ def cmd_batch(args) -> int:
     result = simulate_batch(
         fa, config, stop_on="all", harvest=harvest, mesh=_mesh_from_args(args)
     )
+    if progress["chunks"]:
+        print()  # terminate the \r progress line
 
     if "mapped" not in verified_holder:
         # budget exhausted: check every readout like the reference checks
@@ -337,6 +363,11 @@ def cmd_inter(args) -> int:
 def cmd_hybrid(args) -> int:
     """solve-style pipeline with both engines racing (no reference
     counterpart; preprocessing + witness reconstruction as in solve)."""
+    if args.resume:
+        # the portfolio holds two engine states; a single-state snapshot
+        # cannot resume it — error instead of silently ignoring the flag
+        print("error: --resume is not supported by the hybrid mode", file=sys.stderr)
+        raise SystemExit(2)
     formula = _load(args)
     config = _config_from_args(args, batch_size=args.batch_size)
 
@@ -364,6 +395,13 @@ def cmd_gen(args) -> int:
     from odesat_tpu.utils.generate import random_ksat, random_local_ksat
 
     m = args.n_clauses if args.n_clauses is not None else int(round(4.26 * args.n_vars))
+    if args.locality is not None and args.locality < args.clause_width:
+        print(
+            f"error: --locality {args.locality} is narrower than the clause "
+            f"width k={args.clause_width}",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
     if args.locality is not None:
         formula = random_local_ksat(
             args.n_vars, m, k=args.clause_width, locality=args.locality,

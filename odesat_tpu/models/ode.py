@@ -117,11 +117,28 @@ class SolveResult:
 
 
 def _dtype(ode: ODEConfig):
+    """Resolve the state dtype.
+
+    **Global side effect, by design**: requesting ``dtype="float64"``
+    flips ``jax_enable_x64`` for the whole process (without it jnp
+    silently truncates f64 arrays to f32, so the reference-parity dtype
+    the user asked for would be a lie — reference is f64 throughout,
+    src/system.rs:6-11). JAX offers no per-computation x64 scope that
+    survives returned arrays, so the honest options are this toggle or
+    refusing f64; we toggle and warn once. Subsequent f32 work in the
+    same process keeps f32 *arrays* but weakly-typed Python scalars
+    promote to f64 — callers mixing dtypes in one process should enable
+    x64 themselves at startup."""
     if ode.dtype == "float64":
-        # without x64, jnp silently truncates f64 arrays to f32 — honor
-        # the reference-parity dtype the user asked for (reference is
-        # f64 throughout, src/system.rs:6-11)
         if not jax.config.jax_enable_x64:
+            import warnings
+
+            warnings.warn(
+                "dtype='float64' enables jax_enable_x64 process-wide "
+                "(see models/ode.py:_dtype); set JAX_ENABLE_X64=1 at "
+                "startup to silence this",
+                stacklevel=2,
+            )
             jax.config.update("jax_enable_x64", True)
         return jnp.float64
     return jnp.float32
@@ -155,12 +172,20 @@ def init_state(
     return ODEState(v, xs, xl, dt, done)
 
 
-def make_step_fn(fa: FormulaArrays, zeta: float, ode: ODEConfig, clause_axis: Optional[str] = None):
+def make_step_fn(
+    fa: FormulaArrays,
+    zeta: float,
+    ode: ODEConfig,
+    clause_axis: Optional[str] = None,
+    traj_axis: Optional[str] = None,
+):
     """Build ``step(state, dev) -> state`` for a batched ODEState.
 
     When ``clause_axis`` is set, the step runs inside shard_map over that
     mesh axis: dv contributions, the allsat flag, and the adaptive error
-    norm are reduced with psum/pmax over ICI.
+    norm are reduced with psum/pmax over ICI. ``traj_axis`` only matters
+    for ``dt_mode="shared"`` inside shard_map, where the batch-wide error
+    max must also reduce over the trajectory mesh axis.
     """
     xl_cap = XL_CAP_PER_CLAUSE * fa.n_clauses  # real clause count (src/system.rs:95)
     zeta = float(zeta)
@@ -273,6 +298,12 @@ def make_step_fn(fa: FormulaArrays, zeta: float, ode: ODEConfig, clause_axis: Op
             )
             if clause_axis is not None:
                 err = jax.lax.pmax(err, clause_axis)
+            if ode.dt_mode == "shared":
+                # reference inter parity: one dt for the whole batch,
+                # adapted from the batch-max error (src/system.rs:314)
+                err = jnp.broadcast_to(jnp.max(err, keepdims=True), err.shape)
+                if traj_axis is not None:
+                    err = jax.lax.pmax(err, traj_axis)
             # err == 0 -> dt hits the ceiling, like the reference's
             # dt*inf clamped at 1e3 (src/system.rs:132-135).
             new_dt = jnp.clip(dt * jnp.sqrt(tol / jnp.maximum(err, 1e-30)), DT_MIN, DT_MAX)
@@ -301,6 +332,15 @@ def make_chunk_runner(fa: FormulaArrays, zeta: float, ode: ODEConfig, chunk_step
     the formula supports them (fused measured 12-14x over the scan
     path on v5e)."""
     strategy = ode.dv_strategy
+    # the chunk kernels carry per-trajectory dt columns; a batch-shared
+    # dt needs the scan path's cross-batch reduction (only matters for
+    # the adaptive integrator — fixed mode never reads dt)
+    shared_adaptive = ode.dt_mode == "shared" and ode.step_size is None
+    if shared_adaptive and strategy in ("fused", "stream"):
+        raise ValueError(
+            "dt_mode='shared' is not supported by the chunk kernels; "
+            "use dv_strategy='auto' (scan path) or per-trajectory dt"
+        )
     if strategy == "auto":
         from odesat_tpu.ops.fused_pallas import fused_supported
         from odesat_tpu.ops.stream_pallas import stream_supported
@@ -309,12 +349,14 @@ def make_chunk_runner(fa: FormulaArrays, zeta: float, ode: ODEConfig, chunk_step
         if (
             jax.default_backend() == "tpu"
             and ode.dtype == "float32"
+            and not shared_adaptive
             and fused_supported(fa, itemsize)
         ):
             strategy = "fused"
         elif (
             jax.default_backend() == "tpu"
             and ode.dtype == "float32"
+            and not shared_adaptive
             and stream_supported(fa, itemsize)
         ):
             strategy = "stream"
@@ -492,11 +534,14 @@ def simulate_batch(
                 big_chunk = 0
 
             done = np.asarray(state.done)
+            # harvest first: the oracle-verified exit (and its progress
+            # line) must run even on the chunk where every trajectory
+            # converges
+            if harvest is not None and harvest(state):
+                break
             if stop_on == "any" and done.any():
                 break
             if done.all():
-                break
-            if harvest is not None and harvest(state):
                 break
             if (
                 config.wall_clock_budget_s is not None

@@ -174,7 +174,12 @@ def search(
 ) -> StochResult:
     """Batched stochastic search (reference: src/stoch.rs:80-110 runs one
     chain; here ``config.batch_size`` chains run vmapped with early exit
-    when any chain satisfies every clause)."""
+    when any chain satisfies every clause).
+
+    Honors the same ops plumbing as the ODE loop (models/ode.py
+    simulate_batch): step and wall-clock budgets, ``resume_from`` /
+    ``checkpoint_path`` + ``checkpoint_every_chunks`` StochState
+    snapshots, ``log_every_chunks`` progress metrics, ``profile_dir``."""
     config = config or SolverConfig()
     fa = (
         formula_or_arrays
@@ -190,7 +195,14 @@ def search(
         seed = config.seed if config.seed is not None else int.from_bytes(__import__("os").urandom(4), "little")
         key = jax.random.PRNGKey(seed)
 
-    state = init_stoch_state(fa, config.batch_size, key)
+    steps_resumed = 0
+    if config.resume_from:
+        from odesat_tpu.utils.checkpoint import load_state
+
+        loaded, steps_resumed = load_state(config.resume_from, StochState)
+        state = jax.tree.map(jnp.asarray, loaded)
+    else:
+        state = init_stoch_state(fa, config.batch_size, key)
     chunk_steps = config.chunk_steps
     runner = make_stoch_chunk_runner(
         fa, chunk_steps, matmul_dtype=config.ode.matmul_dtype
@@ -200,48 +212,74 @@ def search(
     budget = config.ode.steps
     # escalate the chunk once a run outlives the early-exit window
     # (same rationale as models/ode.py: chunk boundaries cost a host
-    # round trip each)
+    # round trip each); cadence flags disable growth so checkpoint/log
+    # intervals stay what the user asked for
+    wants_chunk_cadence = bool(
+        config.checkpoint_every_chunks or config.log_every_chunks
+    )
     GROW_AFTER = 8
-    big_chunk = min(chunk_steps * 16, 32768)
-    if budget:
-        big_chunk = min(big_chunk, budget)
-    if big_chunk <= chunk_steps:
-        big_chunk = 0
-    chunks = 0
-    steps_run = 0
-    t0 = time.perf_counter()
-    while True:
-        remaining = None if budget is None else budget - steps_run
-        if remaining is not None and remaining <= 0:
-            break
-        if remaining is not None and remaining < chunk_steps:
-            if tail_runner is None:
-                tail_runner = make_stoch_chunk_runner(
-                    fa, remaining, matmul_dtype=config.ode.matmul_dtype
-                )
-            state = tail_runner(state)
-            steps_run += remaining
-        else:
-            state = runner(state)
-            steps_run += chunk_steps
-        chunks += 1
-        if big_chunk and chunks == GROW_AFTER:
-            remaining_after = None if budget is None else budget - steps_run
-            if remaining_after is None or remaining_after > big_chunk:
-                runner = make_stoch_chunk_runner(
-                    fa, big_chunk, matmul_dtype=config.ode.matmul_dtype
-                )
-                chunk_steps = big_chunk
+    big_chunk = 0
+    if not wants_chunk_cadence:
+        big_chunk = min(chunk_steps * 16, 32768)
+        if budget:
+            big_chunk = min(big_chunk, budget)
+        if big_chunk <= chunk_steps:
             big_chunk = 0
+    chunks = 0
+    steps_run = steps_resumed
+    t0 = time.perf_counter()
+    profiling = False
+    if config.profile_dir:
+        jax.profiler.start_trace(config.profile_dir)
+        profiling = True
+    try:
+        while True:
+            remaining = None if budget is None else budget - steps_run
+            if remaining is not None and remaining <= 0:
+                break
+            if remaining is not None and remaining < chunk_steps:
+                if tail_runner is None:
+                    tail_runner = make_stoch_chunk_runner(
+                        fa, remaining, matmul_dtype=config.ode.matmul_dtype
+                    )
+                state = tail_runner(state)
+                steps_run += remaining
+            else:
+                state = runner(state)
+                steps_run += chunk_steps
+            chunks += 1
+            if big_chunk and chunks == GROW_AFTER:
+                remaining_after = None if budget is None else budget - steps_run
+                if remaining_after is None or remaining_after > big_chunk:
+                    runner = make_stoch_chunk_runner(
+                        fa, big_chunk, matmul_dtype=config.ode.matmul_dtype
+                    )
+                    chunk_steps = big_chunk
+                big_chunk = 0
 
-        done = np.asarray(state.done)
-        if done.any():
-            break
-        if (
-            config.wall_clock_budget_s is not None
-            and time.perf_counter() - t0 > config.wall_clock_budget_s
-        ):
-            break
+            done = np.asarray(state.done)
+            if done.any():
+                break
+            if (
+                config.wall_clock_budget_s is not None
+                and time.perf_counter() - t0 > config.wall_clock_budget_s
+            ):
+                break
+            if config.log_every_chunks and chunks % config.log_every_chunks == 0:
+                from odesat_tpu.utils.logging import log_chunk
+
+                log_chunk(state, steps_run)
+            if (
+                config.checkpoint_every_chunks
+                and config.checkpoint_path
+                and chunks % config.checkpoint_every_chunks == 0
+            ):
+                from odesat_tpu.utils.checkpoint import save_state
+
+                save_state(config.checkpoint_path, state, steps_run)
+    finally:
+        if profiling:
+            jax.profiler.stop_trace()
 
     done = np.asarray(state.done)
     solved = np.flatnonzero(done)

@@ -246,6 +246,14 @@ std::vector<Clause> calculate_var_resolvents_vec(const Pre& st, int32_t var) {
 // indexed subsumption over a sorted, deduped vector (same final set as
 // subsume_clauses_indexed on the equivalent ClauseSet)
 void subsume_vec_indexed(std::vector<Clause>& clauses) {
+  // an empty clause subsumes everything (strict subset of every clause)
+  // but lands in no occurrence list — match the all-pairs semantics
+  for (const Clause& c : clauses) {
+    if (c.empty()) {
+      clauses.assign(1, Clause{});
+      return;
+    }
+  }
   std::map<lit_t, std::vector<const Clause*>> occ;
   for (const Clause& c : clauses)
     for (lit_t l : c) occ[l].push_back(&c);
@@ -291,6 +299,13 @@ int32_t is_blocked(const Pre& st, const Clause& clause) {
 // M=24k) with Sum_c Sum_{l in c} |occ(l)| short includes() tests.
 // Produces exactly the same final set (strict-subset subsumers only).
 void subsume_clauses_indexed(ClauseSet& clauses) {
+  // empty-clause special case: it subsumes every other clause but sits
+  // in no occurrence list (see subsume_vec_indexed)
+  if (clauses.count(Clause{})) {
+    clauses.clear();
+    clauses.insert(Clause{});
+    return;
+  }
   std::map<lit_t, std::vector<const Clause*>> occ;
   for (const Clause& c : clauses)
     for (lit_t l : c) occ[l].push_back(&c);

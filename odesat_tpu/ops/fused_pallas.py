@@ -79,6 +79,14 @@ def make_fused_chunk(
     is cached on the formula's static shape signature — solving many
     same-shape instances (restart families, benchmark seed sets,
     production streams) compiles once instead of once per formula."""
+    if getattr(ode, "dtype", "float32") == "float64":
+        # the kernel carries f32 state and f32/bf16 MXU passes throughout;
+        # silently downcasting a requested f64 run would betray the
+        # reference-parity dtype (src/system.rs:6-11) — reject cleanly
+        raise ValueError(
+            "dtype='float64' is not supported by the fused Pallas kernel; "
+            "use dv_strategy='gather'/'segment_sum' (the scan path) for f64"
+        )
     itemsize = 2 if getattr(ode, "matmul_dtype", "float32") == "bfloat16" else 4
     if not fused_supported(fa, itemsize):
         raise ValueError(

@@ -180,6 +180,13 @@ def make_stream_chunk(
     ``traj_block`` defaults to 512 (throughput saturates there for both
     integrators on the n=1k preprocessed benchmark: fixed 2.0e6,
     adaptive 9.6e5 traj*steps/s — +17% over 256 for adaptive)."""
+    if getattr(ode, "dtype", "float32") == "float64":
+        # f32 state + f32/bf16 MXU passes throughout; reject a requested
+        # f64 run instead of silently downcasting (src/system.rs:6-11)
+        raise ValueError(
+            "dtype='float64' is not supported by the streaming Pallas kernel; "
+            "use dv_strategy='gather'/'segment_sum' (the scan path) for f64"
+        )
     itemsize = 2 if getattr(ode, "matmul_dtype", "float32") == "bfloat16" else 4
     if not stream_supported(fa, itemsize):
         raise ValueError(

@@ -81,8 +81,27 @@ def make_sharded_chunk_runner(
     collectives."""
     n_clause = mesh.shape.get("clause", 1)
     clause_axis = "clause" if n_clause > 1 else None
+    shared_adaptive = ode.dt_mode == "shared" and ode.step_size is None
+    if shared_adaptive and ode.dv_strategy in ("fused", "stream"):
+        raise ValueError(
+            "dt_mode='shared' is not supported by the chunk kernels; "
+            "use dv_strategy='auto' (scan path) or per-trajectory dt"
+        )
 
-    if clause_axis is None and ode.dv_strategy in ("auto", "fused", "stream"):
+    if clause_axis is not None and ode.dv_strategy in ("fused", "stream"):
+        # an explicitly forced chunk kernel must not be silently remapped
+        # (single-device make_chunk_runner raises for unsupported formulas;
+        # the mesh path matches)
+        raise ValueError(
+            f"dv_strategy={ode.dv_strategy!r} does not support a clause mesh "
+            "axis; use dv_strategy='auto' or a trajectory-only mesh"
+        )
+
+    if (
+        clause_axis is None
+        and not shared_adaptive
+        and ode.dv_strategy in ("auto", "fused", "stream")
+    ):
         # trajectory-only mesh: the Pallas chunk kernels shard as pure DP —
         # each device runs the kernel on its batch slice under shard_map
         from odesat_tpu.ops.fused_pallas import fused_supported, make_fused_chunk
@@ -90,13 +109,13 @@ def make_sharded_chunk_runner(
 
         kernel = None
         on_tpu_f32 = jax.default_backend() == "tpu" and ode.dtype == "float32"
-        if ode.dv_strategy != "stream" and fused_supported(fa) and (
-            ode.dv_strategy == "fused" or on_tpu_f32
-        ):
+        if ode.dv_strategy == "fused":
+            kernel = make_fused_chunk(fa, zeta, ode, chunk_steps)  # raises if unsupported
+        elif ode.dv_strategy == "stream":
+            kernel = make_stream_chunk(fa, zeta, ode, chunk_steps)  # raises if unsupported
+        elif on_tpu_f32 and fused_supported(fa):
             kernel = make_fused_chunk(fa, zeta, ode, chunk_steps)
-        elif stream_supported(fa) and (
-            ode.dv_strategy == "stream" or on_tpu_f32
-        ):
+        elif on_tpu_f32 and stream_supported(fa):
             kernel = make_stream_chunk(fa, zeta, ode, chunk_steps)
         if kernel is not None:
             sharded_kernel = shard_map(
@@ -108,7 +127,15 @@ def make_sharded_chunk_runner(
             )
             return jax.jit(lambda state, dev: sharded_kernel(state), donate_argnums=0)
 
-    step = make_step_fn(fa, zeta, ode, clause_axis=clause_axis)
+    # traj_axis only matters inside shard_map for dt_mode="shared" (the
+    # GSPMD jit path below reduces over the global batch automatically)
+    step = make_step_fn(
+        fa,
+        zeta,
+        ode,
+        clause_axis=clause_axis,
+        traj_axis="traj" if clause_axis is not None else None,
+    )
 
     def run_chunk(state: ODEState, dev: FormulaDevice) -> ODEState:
         def body(carry, _):

@@ -59,7 +59,15 @@ def subsume_clauses(clauses: set) -> None:
     subsumed one, so it appears in the occurrence list of at least one
     of them — same final set as the reference's all-pairs scan at
     Sum |occ| cost instead of O(M^2) (the native twin does the same,
-    odesat_native.cc subsume_clauses_indexed)."""
+    odesat_native.cc subsume_clauses_indexed).
+
+    An empty clause (possible from resolving complementary units) appears
+    in no occurrence list but subsumes everything under the reference's
+    all-pairs semantics (src/cnf.rs:521-539: the strict subset of every
+    clause) — special-cased so the indexed scan keeps the same final set."""
+    if frozenset() in clauses:
+        clauses.intersection_update({frozenset()})
+        return
     occ = {}
     for clause in clauses:
         for lit in clause:

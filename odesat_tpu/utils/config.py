@@ -52,6 +52,17 @@ class ODEConfig:
     # trajectories diverge at ~1e-3 relative — solutions are still
     # oracle-verified, so only time-to-solution statistics can shift)
     matmul_dtype: str = "float32"
+    # adaptive-dt coupling across the trajectory batch:
+    #   "per-trajectory" - each trajectory carries its own dt (the
+    #                      paper's intent; the only design that vmaps)
+    #   "shared"         - one dt for the whole batch, adapted from the
+    #                      max error norm over all trajectories — the
+    #                      parallel analog of the reference inter mode's
+    #                      single shared dt (src/system.rs:262-272,314;
+    #                      the reference threads one dt *sequentially*
+    #                      through trajectories, which cannot vmap — the
+    #                      batch-max is the faithful SPMD rendering)
+    dt_mode: str = "per-trajectory"
 
     def resolve_zeta(self, density: float) -> float:
         return self.zeta if self.zeta is not None else zeta_for_density(density)

@@ -62,6 +62,11 @@ def random_local_ksat(
     instances (circuit/BMC/planning CNFs number variables in generation
     order, so clauses touch nearby indices) — the regime where the
     streaming kernel's per-span variable windows pay off."""
+    if locality < k:
+        raise ValueError(
+            f"locality={locality} is narrower than the clause width k={k}: "
+            "a clause cannot draw k distinct variables from the window"
+        )
     rng = np.random.default_rng(seed)
     hidden = rng.integers(0, 2, size=n_vars + 1).astype(bool) if planted else None
     clauses = []

@@ -77,3 +77,40 @@ def test_checkpoint_cadence_respected_for_small_batches(tmp_path, data_dir):
     )
     simulate_batch(normalized, config)
     assert os.path.exists(path)
+
+
+def test_stoch_checkpoint_resume(tmp_path, data_dir):
+    """The stoch loop has the same ops plumbing as the ODE loop
+    (VERDICT round 1): snapshots are written on cadence and a resumed
+    search accounts the resumed steps against the budget."""
+    import dataclasses
+
+    from odesat_tpu.models.stoch import StochState, search
+    from odesat_tpu.utils.config import SolverConfig
+
+    formula = parse_dimacs_file(os.path.join(data_dir, "hard.cnf"))
+    _, normalized = normalize_cnf_variables(formula)
+    path = str(tmp_path / "stoch.npz")
+
+    config = SolverConfig(
+        ode=ODEConfig(steps=64),
+        batch_size=4,
+        seed=0,
+        chunk_steps=16,
+        checkpoint_path=path,
+        checkpoint_every_chunks=1,
+    )
+    first = search(normalized, config)
+    assert first.steps == 64
+    assert os.path.exists(path)
+
+    restored, steps = load_state(path, StochState)
+    assert 0 < steps <= 64
+    assert restored.v.shape[0] == 4
+
+    resumed_config = dataclasses.replace(
+        config, resume_from=path, checkpoint_path=None, checkpoint_every_chunks=0
+    )
+    resumed = search(normalized, resumed_config)
+    # budget counts from the snapshot's step counter
+    assert resumed.steps == 64

@@ -185,3 +185,130 @@ def test_cli_hybrid_small(data_dir, capsys):
     assert rc == 0
     assert "Winner:" in captured
     assert "Checking if solution vector satisfies formula: true" in captured
+
+
+def test_cli_gen_rejects_narrow_locality(tmp_path, capsys):
+    with pytest.raises(SystemExit) as exc:
+        main(
+            [
+                "gen",
+                "-o",
+                str(tmp_path / "x.cnf"),
+                "-n",
+                "50",
+                "--locality",
+                "2",
+            ]
+        )
+    assert exc.value.code == 2
+    assert "locality" in capsys.readouterr().err
+
+
+def test_cli_hybrid_rejects_resume(data_dir, capsys, tmp_path):
+    with pytest.raises(SystemExit) as exc:
+        main(
+            [
+                "hybrid",
+                "-f",
+                os.path.join(data_dir, "small.cnf"),
+                "--resume",
+                str(tmp_path / "nonexistent.npz"),
+            ]
+        )
+    assert exc.value.code == 2
+    assert "--resume" in capsys.readouterr().err
+
+
+def test_cli_batch_progress_line(data_dir, capsys):
+    """The reference prints a \r progress line per trial
+    (src/main.rs:279); the parallel analog reports converged
+    trajectories per chunk."""
+    rc = main(
+        [
+            "batch",
+            "-f",
+            os.path.join(data_dir, "small.cnf"),
+            "-b",
+            "4",
+            "-n",
+            "600",
+            "-s",
+            "0.01",
+            "--seed",
+            "3",
+            "--chunk-steps",
+            "128",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "\rRunning batch:" in out
+    assert "trajectories converged" in out
+
+
+def test_cli_inter_shared_dt(data_dir, capsys):
+    rc = main(
+        [
+            "inter",
+            "-f",
+            os.path.join(data_dir, "small.cnf"),
+            "-b",
+            "4",
+            "-n",
+            "400",
+            "--dt-mode",
+            "shared",
+            "--seed",
+            "0",
+            "--chunk-steps",
+            "64",
+        ]
+    )
+    captured = capsys.readouterr().out
+    assert rc == 0
+    assert "Checking if solution vector satisfies formula: true" in captured
+
+
+def test_cli_stoch_checkpoint_and_log(data_dir, tmp_path, capsys):
+    ckpt = str(tmp_path / "stoch_cli.npz")
+    rc = main(
+        [
+            "stoch",
+            "-f",
+            os.path.join(data_dir, "hard.cnf"),
+            "-n",
+            "64",
+            "-b",
+            "4",
+            "--seed",
+            "0",
+            "--chunk-steps",
+            "16",
+            "--checkpoint",
+            ckpt,
+            "--checkpoint-every",
+            "1",
+            "--log-every",
+            "1",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(ckpt)
+    rc = main(
+        [
+            "stoch",
+            "-f",
+            os.path.join(data_dir, "hard.cnf"),
+            "-n",
+            "64",
+            "-b",
+            "4",
+            "--seed",
+            "0",
+            "--chunk-steps",
+            "16",
+            "--resume",
+            ckpt,
+        ]
+    )
+    assert rc == 0

@@ -96,3 +96,20 @@ def test_fused_odd_batch_sizes(B):
     # parity vs scan path
     ref = _scan(fa, ODEConfig(step_size=0.02, dv_strategy="gather"), state, 5, 0.05)
     np.testing.assert_allclose(np.asarray(out.v), np.asarray(ref.v), rtol=2e-4, atol=2e-5)
+
+
+def test_fused_rejects_float64():
+    """f64 runs must not silently downcast through the f32 kernel
+    (reference is f64 throughout, src/system.rs:6-11)."""
+    fa = _fixture()
+    with pytest.raises(ValueError, match="float64"):
+        make_fused_chunk(fa, 0.001, ODEConfig(step_size=0.01, dtype="float64"), 4)
+
+
+def test_fused_rejects_shared_dt_via_runner():
+    from odesat_tpu.models.ode import make_chunk_runner
+
+    fa = _fixture()
+    ode = ODEConfig(dt_mode="shared", dv_strategy="fused")
+    with pytest.raises(ValueError, match="shared"):
+        make_chunk_runner(fa, 0.001, ode, 4)

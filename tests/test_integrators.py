@@ -113,3 +113,36 @@ def test_done_trajectories_freeze():
     # update_state before the break, src/system.rs:141-154), after which
     # the trajectory freezes; v stays in the satisfying corner
     assert np.asarray(out.v)[0, 0] > 0 and np.asarray(out.v)[0, 1] > 0
+
+
+def test_shared_dt_mode_couples_batch():
+    """dt_mode='shared' reproduces the reference inter mode's single
+    adaptive dt (src/system.rs:262-272,314 rendered as one batch-max):
+    after any number of steps every trajectory carries the same dt, and
+    it equals the dt driven by the batch-max error."""
+    normalized, fa, _ = _fixture(seed=3)
+    ode_shared = ODEConfig(tolerance=1e-3, dt_mode="shared")
+    ode_per = ODEConfig(tolerance=1e-3)
+    dev = formula_device(fa)
+    state0 = init_state(fa, 6, jax.random.PRNGKey(5), ode_shared)
+
+    step_shared = make_step_fn(fa, 0.001, ode_shared)
+    step_per = make_step_fn(fa, 0.001, ode_per)
+
+    s = state0
+    for _ in range(5):
+        s = step_shared(s, dev)
+    dts = np.asarray(s.dt)
+    assert np.allclose(dts, dts[0]), "shared mode must carry one dt"
+
+    p = state0
+    for _ in range(5):
+        p = step_per(p, dev)
+    # per-trajectory dts genuinely diverge on this fixture (guards the
+    # test against a vacuous pass)
+    assert not np.allclose(np.asarray(p.dt), np.asarray(p.dt)[0])
+    # the shared dt is governed by the batch max error => it is the min
+    # of what per-trajectory adaptation would give after the first step
+    s1 = step_shared(state0, dev)
+    p1 = step_per(state0, dev)
+    np.testing.assert_allclose(np.asarray(s1.dt)[0], np.asarray(p1.dt).min(), rtol=1e-6)

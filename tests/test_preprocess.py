@@ -112,3 +112,18 @@ def test_set_conversion_dedups():
     f = CNFFormula([(Literal(1), Literal(2)), (Literal(2), Literal(1))], 2)
     fs = to_formula_set(f)
     assert len(fs.clauses) == 1
+
+
+def test_subsumption_empty_clause_dominates():
+    """An empty clause subsumes every other clause (reference all-pairs
+    semantics, src/cnf.rs:521-539); the occurrence-indexed scan must
+    special-case it since it lands in no occurrence list."""
+    clauses = {frozenset(), _lits((1, False)), _lits((2, True), (3, False))}
+    subsume_clauses(clauses)
+    assert clauses == {frozenset()}
+
+
+def test_subsumption_no_empty_clause_untouched():
+    clauses = {_lits((1, False)), _lits((2, True))}
+    subsume_clauses(clauses)
+    assert clauses == {_lits((1, False)), _lits((2, True))}

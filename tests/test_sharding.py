@@ -200,3 +200,47 @@ def test_make_pod_mesh_layout_and_solve():
     )
     result = simulate_batch(norm, cfg, mesh=mesh)
     assert result.assignment.shape[0] == 16
+
+
+def test_sharded_explicit_kernel_unsupported_raises(data_dir):
+    """An explicitly forced chunk kernel must raise on the mesh path when
+    the formula can't run it (ADVICE round 1) instead of silently
+    remapping to the scan path."""
+    import pytest
+
+    from odesat_tpu.cnf.formula import CNFFormula, Literal
+    from odesat_tpu.cnf import compile_formula as _cf
+    from odesat_tpu.parallel.mesh import make_mesh
+    from odesat_tpu.parallel.sharded import make_sharded_chunk_runner
+    from odesat_tpu.utils.config import ODEConfig
+
+    # unit clause => both kernels unsupported
+    formula = CNFFormula(
+        [(Literal(0, False),), (Literal(0, True), Literal(1, False))], 2
+    )
+    fa = _cf(formula)
+    mesh = make_mesh(8, 1)
+    for strategy in ("fused", "stream"):
+        ode = ODEConfig(step_size=0.01, dv_strategy=strategy)
+        with pytest.raises(ValueError):
+            make_sharded_chunk_runner(fa, 0.001, ode, 4, mesh)
+
+
+def test_sharded_explicit_kernel_clause_axis_raises(data_dir):
+    import pytest
+
+    from odesat_tpu.cnf import compile_formula as _cf, normalize_cnf_variables, parse_dimacs_file
+    import os as _os
+
+    from odesat_tpu.parallel.mesh import make_mesh
+    from odesat_tpu.parallel.sharded import make_sharded_chunk_runner
+    from odesat_tpu.utils.config import ODEConfig
+
+    formula = parse_dimacs_file(_os.path.join(data_dir, "hard.cnf"))
+    _, normalized = normalize_cnf_variables(formula)
+    fa = _cf(normalized)
+    mesh = make_mesh(4, 2)
+    with pytest.raises(ValueError, match="clause mesh"):
+        make_sharded_chunk_runner(
+            fa, 0.001, ODEConfig(step_size=0.01, dv_strategy="fused"), 4, mesh
+        )

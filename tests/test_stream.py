@@ -164,3 +164,14 @@ def test_stream_rejects_non_span_aligned_pads():
     from odesat_tpu.ops.stoch_pallas import stoch_stream_supported
 
     assert not stoch_stream_supported(fa)
+
+
+def test_stream_rejects_float64():
+    from odesat_tpu.utils.config import ODEConfig
+    from odesat_tpu.utils.generate import random_ksat
+
+    formula = random_ksat(120, 500, k=3, seed=1)
+    _, normalized = normalize_cnf_variables(formula)
+    fa = compile_formula(normalized)
+    with pytest.raises(ValueError, match="float64"):
+        make_stream_chunk(fa, 0.001, ODEConfig(step_size=0.01, dtype="float64"), 4)

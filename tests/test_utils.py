@@ -72,3 +72,12 @@ def test_solver_config_with_ode():
     config = SolverConfig().with_ode(step_size=0.5)
     assert config.ode.step_size == 0.5
     assert config.ode.tolerance == 1e-3
+
+
+def test_random_local_ksat_rejects_narrow_window():
+    import pytest
+
+    from odesat_tpu.utils.generate import random_local_ksat
+
+    with pytest.raises(ValueError, match="locality"):
+        random_local_ksat(100, 10, k=3, locality=2)
