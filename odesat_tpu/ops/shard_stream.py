@@ -1,0 +1,481 @@
+"""Clause-sharded streaming RHS: the fast path for huge CNFs on a mesh.
+
+Round 1 forced every clause-sharded solve onto the segment_sum scan path
+(4-17x slower than the chunk kernels in the repo's own shootout) and
+rejected width-bucketed formulas outright. This module closes that gap —
+the whole point of the clause axis is CNFs too big for one chip
+(SURVEY.md §2b), and those are exactly the ones that need the fast
+kernel and the width buckets.
+
+Design
+------
+
+The clause axis is partitioned **per width bucket**: every global width
+bucket is split contiguously into ``n_shards`` equal parts (padded to a
+shared 128-aligned part length), so *every shard has the same static
+local layout* — same bucket slices, same span count, same plane row
+offsets. That uniformity is what lets one SPMD program (one shard_map
+trace, one Pallas kernel) run all shards while each streams different
+plane *data*.
+
+Per shard, the incidence is packed into sign-baked variable-window
+planes exactly like ops/stream_pallas.py (plane k of a span holds
+``-q_i`` at the literal's variable row; one MXU pass over ``v`` yields
+the per-literal clause values, and the transposed pass scatters dv).
+Because span *metadata* must be shard-uniform, window widths are
+uniformized per bucket (``W_b`` = the widest window any shard's span in
+bucket b needs, 128-aligned, capped at Np) and only the window *offset*
+``lo`` stays per-(shard, span) — it rides in as a scalar-prefetch array
+and drives dynamic 128-aligned slices of ``v`` and the dv accumulator.
+
+Unlike the single-device chunk kernels, the kernel computes ONE RHS
+evaluation (dv/dxs/dxl/allsat) for the local clause shard; the Euler
+step runs in XLA under shard_map where ``dv`` is psum-reduced over the
+clause axis — the per-clause independence that makes this a pure
+segment-sum + all-reduce (reference walk: src/system.rs:35-90; the
+reference itself is single-threaded, SURVEY.md §2b). models/ode.py
+``make_step_fn`` supplies the integrator (freeze semantics, adaptive
+step doubling, pmax of the error norm) via its ``derivs_fn`` hook, so
+both integrators and all reduction plumbing are shared with the scan
+path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from odesat_tpu.cnf.formula import CNFFormula
+from odesat_tpu.constants import ALPHA, BETA, DELTA, EPSILON, GAMMA
+
+_INF = float("inf")
+_BIG = 1.0e9  # padding-slot clause value: loses every min, finite (inf*0 = NaN in the MXU)
+SPAN = 128
+_G_HBM_LIMIT = 2 * 1024 * 1024 * 1024  # per-shard plane HBM budget
+_VMEM_BUDGET = 64 * 1024 * 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m if x else m
+
+
+@dataclass(frozen=True)
+class StreamShardPlan:
+    """Static, shard-uniform layout + per-shard plane data.
+
+    ``span_meta``: tuple of (row_offset, K_b, W_b, c0) — identical for
+    every shard; ``lo`` (S, n_spans) int32 holds each shard's per-span
+    variable-window offsets (the only per-shard metadata, passed as a
+    scalar-prefetch array). ``planes`` (S, R, SPAN) f32, ``bias``
+    (S, K, Mp_local) f32.
+    """
+
+    n_shards: int
+    mp_local: int
+    n_vars_padded: int
+    span_meta: tuple
+    planes: np.ndarray
+    lo: np.ndarray
+    bias: np.ndarray
+    max_group_rows: int
+
+
+def compile_stream_sharded(
+    formula: CNFFormula,
+    n_shards: int,
+    *,
+    var_pad: int = 128,
+    bucket: bool = True,
+    min_bucket: int = 256,
+    window_sort: bool = True,
+    dtype=np.float32,
+):
+    """Compile a normalized formula for the clause-sharded streaming
+    kernel. Returns ``(FormulaArrays, StreamShardPlan)`` where the
+    FormulaArrays' clause axis is laid out as ``n_shards`` contiguous,
+    identically-shaped shard segments (so ``P('traj', 'clause')``
+    sharding splits it exactly at segment boundaries) and remains a
+    perfectly ordinary FormulaArrays — the scan path runs it unchanged,
+    which is how kernel-vs-scan parity is tested.
+
+    Mirrors cnf/arrays.py compile_formula's array construction (the
+    occurrence layout convention must match for the fallback paths).
+    """
+    from odesat_tpu.cnf.arrays import FormulaArrays, _make_buckets
+
+    if any(len(c) == 0 for c in formula.clauses):
+        raise ValueError("formula contains an empty clause (trivially UNSAT)")
+    M = formula.num_clauses
+    K = max(formula.max_clause_width, 1)
+    N = formula.varnum
+    widths = [len(c) for c in formula.clauses]
+
+    if bucket and M and len(set(widths)) > 1:
+        index_buckets = _make_buckets(widths, min_bucket)
+    else:
+        index_buckets = [list(range(M))]
+    if window_sort:
+        index_buckets = [
+            sorted(ix, key=lambda i: min(l.variable for l in formula.clauses[i]))
+            for ix in index_buckets
+        ]
+
+    # split each bucket contiguously into n_shards parts, all padded to
+    # one shared 128-aligned part length -> identical local layouts
+    local_meta = []  # (m0_local, m1_local, Kb)
+    shard_parts = []  # per bucket: list of per-shard clause-index lists
+    cursor = 0
+    for indices in index_buckets:
+        Kb = max((widths[i] for i in indices), default=1)
+        per = -(-len(indices) // n_shards) if indices else 0
+        parts = [indices[s * per : (s + 1) * per] for s in range(n_shards)]
+        Mb = _round_up(max((len(p) for p in parts), default=0), SPAN)
+        local_meta.append((cursor, cursor + Mb, Kb))
+        shard_parts.append(parts)
+        cursor += Mb
+    Mp_local = cursor
+    Mp = Mp_local * n_shards
+    Np = _round_up(N, var_pad)
+
+    lit_var = np.zeros((K, Mp), dtype=np.int32)
+    sign = np.zeros((K, Mp), dtype=dtype)
+    lit_mask = np.zeros((K, Mp), dtype=dtype)
+    clause_mask = np.zeros((Mp,), dtype=dtype)
+    xs_init = np.full((Mp,), 1.0, dtype=dtype)
+
+    # global clause order: shard 0's full local layout, then shard 1's, …
+    # occurrence slots follow the same (bucket-major within shard) order
+    # as compile_formula: flat slot = slot_offset + k * Mb + j
+    occurrences = [[] for _ in range(Np)]
+    global_buckets = []  # (m0, m1, Kb) in global coords, clause-axis order
+    slot_offset = 0
+    for s in range(n_shards):
+        base = s * Mp_local
+        for (m0, m1, Kb), parts in zip(local_meta, shard_parts):
+            Mb = m1 - m0
+            for j, ci in enumerate(parts[s]):
+                m = base + m0 + j
+                clause = formula.clauses[ci]
+                clause_mask[m] = 1.0
+                xs_init[m] = 1.0 if any(lit.is_negated for lit in clause) else -1.0
+                for k, lit in enumerate(clause):
+                    lit_var[k, m] = lit.variable
+                    sign[k, m] = -1.0 if lit.is_negated else 1.0
+                    lit_mask[k, m] = 1.0
+                    occurrences[lit.variable].append(slot_offset + k * Mb + j)
+            global_buckets.append((base + m0, base + m1, Kb))
+            slot_offset += Kb * Mb
+    n_slots = slot_offset
+
+    D = max((len(o) for o in occurrences), default=1) or 1
+    var_occ = np.zeros((Np, D), dtype=np.int32)
+    occ_mask = np.zeros((Np, D), dtype=dtype)
+    for i, occ in enumerate(occurrences):
+        if occ:
+            var_occ[i, : len(occ)] = occ
+            occ_mask[i, : len(occ)] = 1.0
+
+    fa = FormulaArrays(
+        lit_var=lit_var,
+        sign=sign,
+        lit_mask=lit_mask,
+        clause_mask=clause_mask,
+        xs_init=xs_init,
+        var_occ=var_occ,
+        occ_mask=occ_mask,
+        n_vars=N,
+        n_vars_padded=Np,
+        n_clauses=M,
+        n_clauses_padded=Mp,
+        max_width=K,
+        min_width=min(widths, default=1),
+        max_occ=D,
+        density=formula.clause_density(),
+        bucket_slices=tuple(global_buckets),
+        n_slots=n_slots,
+    )
+
+    # ---- per-shard windowed planes with bucket-uniform window widths
+    n_spans_total = Mp_local // SPAN
+    # pass 1: window offset + width per (shard, local span)
+    lo_raw = np.zeros((n_shards, n_spans_total), dtype=np.int64)
+    need_w = np.zeros((n_shards, n_spans_total), dtype=np.int64)
+    bucket_of_span = {}
+    for b, (m0, m1, Kb) in enumerate(local_meta):
+        for c0 in range(m0, m1, SPAN):
+            bucket_of_span[c0 // SPAN] = b
+    for s in range(n_shards):
+        base = s * Mp_local
+        for sp in range(n_spans_total):
+            cols = np.arange(base + sp * SPAN, base + (sp + 1) * SPAN)
+            Kb = local_meta[bucket_of_span[sp]][2]
+            on = lit_mask[:Kb, cols] > 0
+            if on.any():
+                vs = lit_var[:Kb, cols][on]
+                lo = (int(vs.min()) // SPAN) * SPAN
+                hi = _round_up(int(vs.max()) + 1, SPAN)
+            else:
+                lo, hi = 0, SPAN
+            lo_raw[s, sp] = lo
+            need_w[s, sp] = hi - lo
+    # uniform W per bucket = the widest any shard's span needs, capped Np
+    W_b = {}
+    for b, (m0, m1, Kb) in enumerate(local_meta):
+        spans = [sp for sp in range(n_spans_total) if bucket_of_span[sp] == b]
+        W_b[b] = min(int(max((need_w[:, sp].max() for sp in spans), default=SPAN)), Np)
+
+    span_meta = []  # (row_offset, Kb, W, c0)
+    row_off = 0
+    for sp in range(n_spans_total):
+        b = bucket_of_span[sp]
+        Kb = local_meta[b][2]
+        W = W_b[b]
+        span_meta.append((row_off, Kb, W, sp * SPAN))
+        row_off += Kb * W
+    R = row_off
+
+    lo_arr = np.zeros((n_shards, n_spans_total), dtype=np.int32)
+    planes = np.zeros((n_shards, R, SPAN), dtype=np.float32)
+    bias = np.full((n_shards, K, Mp_local), 1.0 + _BIG, dtype=np.float32)
+    for s in range(n_shards):
+        base = s * Mp_local
+        for r0, Kb, W, c0 in span_meta:
+            lo = min(int(lo_raw[s, c0 // SPAN]), Np - W)
+            lo_arr[s, c0 // SPAN] = lo
+            cols = np.arange(base + c0, base + c0 + SPAN)
+            for k in range(Kb):
+                on = lit_mask[k, cols] > 0
+                planes[s, r0 + k * W + (lit_var[k, cols[on]] - lo), np.where(on)[0]] = (
+                    -sign[k, cols[on]]
+                )
+                bias[s, k, c0 + np.where(on)[0]] = 1.0
+
+    plan = StreamShardPlan(
+        n_shards=n_shards,
+        mp_local=Mp_local,
+        n_vars_padded=Np,
+        span_meta=tuple(span_meta),
+        planes=planes,
+        lo=lo_arr,
+        bias=bias,
+        max_group_rows=max((kb * w for _, kb, w, _ in span_meta), default=SPAN),
+    )
+    return fa, plan
+
+
+def stream_shard_supported(fa, plan: StreamShardPlan, itemsize: int = 4) -> bool:
+    """Kernel eligibility: no unit clauses (infinite gradients, see
+    ops/rhs.py) and the per-shard plane array within its HBM budget."""
+    return (
+        fa.min_width >= 2
+        and plan.planes.shape[1] * SPAN * itemsize <= _G_HBM_LIMIT
+        and plan.n_vars_padded % SPAN == 0
+    )
+
+
+def _pick_traj_block(batch: int, Np: int, Mp_local: int, group_rows: int, itemsize: int) -> int:
+    """Largest power-of-two block dividing the batch whose VMEM footprint
+    (v copies + dv accumulator + xs/xl blocks + plane staging) fits."""
+    bb = 512
+    while bb > 8 and batch % bb:
+        bb //= 2
+    while bb > 8:
+        footprint = (
+            bb * Np * (4 * 4 + itemsize)  # v in/out + dv out + dv acc + v16
+            + bb * Mp_local * 4 * 6  # xs/xl in + dxs/dxl out + pipeline copies
+            + 2 * group_rows * SPAN * itemsize
+        )
+        if footprint <= _VMEM_BUDGET:
+            break
+        bb //= 2
+    return max(bb, 8)
+
+
+def make_stream_shard_rhs(
+    plan: StreamShardPlan,
+    zeta: float,
+    ode,
+    interpret: bool | None = None,
+    traj_block: int | None = None,
+):
+    """Build ``rhs(v, xs, xl, planes, lo, bias, cmask) -> (dv, dxs, dxl,
+    allsat)`` for ONE shard's local clause slice (runs inside shard_map;
+    the caller psums dv and AND-reduces allsat over the clause axis).
+
+    v: (B, Np) replicated over the clause axis; xs/xl: (B, Mp_local)
+    the local shard segment; planes/lo/bias: this shard's slices of the
+    plan arrays (leading shard axis already squeezed by shard_map).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    paper = ode.rigidity == "paper"
+    zeta_c = float(zeta)
+    bf16 = getattr(ode, "matmul_dtype", "float32") == "bfloat16"
+    mm_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    mm_precision = None if bf16 else jax.lax.Precision.HIGHEST
+    itemsize = 2 if bf16 else 4
+
+    span_meta = plan.span_meta
+    S_spans = len(span_meta)
+    Np = plan.n_vars_padded
+    Mp = plan.mp_local
+    Kmax = max(kb for _, kb, _, _ in span_meta)
+    R = plan.planes.shape[1]
+
+    def kernel(lo_ref, v_ref, xs_ref, xl_ref, bias_ref, cmask_ref, g_ref,
+               dv_out, dxs_out, dxl_out, sat_out,
+               gbuf, v16_ref, dv_ref, vals_ref, sat_ref, gsem):
+        Bb = v_ref.shape[0]
+        v16_ref[:] = v_ref[:].astype(mm_dtype)
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+        sat_ref[:] = jnp.ones_like(sat_ref)
+
+        def g_dma(sp, slot):
+            r0, kb, w, _ = span_meta[sp]
+            return pltpu.make_async_copy(
+                g_ref.at[r0 : r0 + kb * w], gbuf.at[slot, : kb * w], gsem.at[slot]
+            )
+
+        g_dma(0, 0).start()
+        for sp in range(S_spans):
+            slot = sp % 2
+            if sp + 1 < S_spans:
+                g_dma(sp + 1, (sp + 1) % 2).start()
+            g_dma(sp, slot).wait()
+            r0, kb, w, c0 = span_meta[sp]
+            lo = lo_ref[sp]
+            vwin = v16_ref[:, pl.ds(lo, w)]
+            xs = xs_ref[:, c0 : c0 + SPAN]
+            xl = xl_ref[:, c0 : c0 + SPAN]
+
+            m1 = m2 = None
+            for k in range(kb):
+                valk = jnp.dot(
+                    vwin,
+                    gbuf[slot, k * w : (k + 1) * w],
+                    preferred_element_type=jnp.float32,
+                    precision=mm_precision,
+                ) + bias_ref[k : k + 1, c0 : c0 + SPAN]
+                if m1 is None:
+                    m1 = valk
+                    m2 = jnp.full(valk.shape, _INF, dtype=jnp.float32)
+                else:
+                    m2 = jnp.minimum(m2, jnp.maximum(m1, valk))
+                    m1 = jnp.minimum(m1, valk)
+                vals_ref[k] = valk
+
+            c = 0.5 * m1
+            # hoisted per-clause coefficients; the -1/2 cancels the
+            # sign-baked planes' -q_i (see ops/stream_pallas.py header)
+            a = -0.5 * (xl * xs)
+            b = -0.5 * ((1.0 + zeta_c * xl) * (1.0 - xs))
+            A1 = a * m1
+            A2 = a * m2
+            dvw = jnp.zeros((Bb, w), dtype=jnp.float32)
+            for k in range(kb):
+                valk = vals_ref[k]
+                is_min = valk <= m1
+                if paper:
+                    contrib = jnp.where(is_min, A2 + b * valk, A1)
+                else:
+                    gate = (valk == c).astype(jnp.float32)
+                    contrib = jnp.where(is_min, A2, A1) + b * (valk * gate)
+                dvw = dvw + jax.lax.dot_general(
+                    contrib.astype(mm_dtype),
+                    gbuf[slot, k * w : (k + 1) * w],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mm_precision,
+                )
+            dv_ref[:, pl.ds(lo, w)] = dv_ref[:, pl.ds(lo, w)] + dvw
+
+            cmask = cmask_ref[:, c0 : c0 + SPAN]
+            dxs_out[:, c0 : c0 + SPAN] = BETA * (xs + EPSILON) * (c - GAMMA) * cmask
+            dxl_out[:, c0 : c0 + SPAN] = ALPHA * (c - DELTA) * cmask
+            sat_ref[:] = jnp.minimum(
+                sat_ref[:],
+                jnp.min(
+                    jnp.where(cmask > 0, (c < GAMMA).astype(jnp.float32), 1.0),
+                    axis=1,
+                    keepdims=True,
+                ),
+            )
+        dv_out[:] = dv_ref[:]
+        sat_out[:] = sat_ref[:]
+
+    def rhs(v, xs, xl, planes, lo, bias, cmask):
+        B = v.shape[0]
+        Bb = traj_block or _pick_traj_block(B, Np, Mp, plan.max_group_rows, itemsize)
+        while Bb > 8 and B % Bb:
+            Bb //= 2
+        grid = (B // Bb,) if B % Bb == 0 else (1,)
+        if B % Bb:
+            Bb = B  # tiny odd batches: single block
+
+        row_blk = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        const_blk = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                row_blk((Bb, Np)),
+                row_blk((Bb, Mp)),
+                row_blk((Bb, Mp)),
+                const_blk(bias.shape),
+                const_blk((1, Mp)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=[
+                row_blk((Bb, Np)),
+                row_blk((Bb, Mp)),
+                row_blk((Bb, Mp)),
+                row_blk((Bb, 1)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, plan.max_group_rows, SPAN), mm_dtype),
+                pltpu.VMEM((Bb, Np), mm_dtype),
+                pltpu.VMEM((Bb, Np), jnp.float32),
+                pltpu.VMEM((Kmax, Bb, SPAN), jnp.float32),
+                pltpu.VMEM((Bb, 1), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        dv, dxs, dxl, sat = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((B, Np), jnp.float32),
+                jax.ShapeDtypeStruct((B, Mp), jnp.float32),
+                jax.ShapeDtypeStruct((B, Mp), jnp.float32),
+                jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_BUDGET + 32 * 1024 * 1024,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * B * R * SPAN,
+                bytes_accessed=(B // Bb) * R * SPAN * itemsize + 4 * B * Mp * 4,
+                transcendentals=0,
+            ),
+        )(
+            lo,
+            v.astype(jnp.float32),
+            xs,
+            xl,
+            bias,
+            cmask.reshape(1, Mp).astype(jnp.float32),
+            planes.astype(mm_dtype),
+        )
+        return dv, dxs, dxl, sat.reshape(B) > 0.5
+
+    return rhs
