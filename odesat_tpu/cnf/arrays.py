@@ -68,6 +68,10 @@ class FormulaArrays:
     # Single full-width bucket when bucketing is off.
     bucket_slices: tuple = ()
     n_slots: int = 0  # total flattened contribution slots sum(K_b * M_b)
+    # set by ops/shard_stream.compile_stream_sharded: the shard-uniform
+    # plane layout for the clause-sharded streaming kernel. None for
+    # ordinary compiles; the arrays above are valid either way.
+    shard_plan: object = None
 
     def __repr__(self) -> str:  # compact — the arrays are large
         return (

@@ -74,7 +74,9 @@ class ODEState(NamedTuple):
 
 class FormulaDevice(NamedTuple):
     """Device-resident incidence arrays, passed to the step function so
-    they can be sharded over a clause mesh axis."""
+    they can be sharded over a clause mesh axis. The last three fields
+    are the clause-sharded streaming kernel's per-shard plane data
+    (ops/shard_stream.py), ``None`` for ordinary compiles."""
 
     lit_var: jax.Array  # (K, Mp) int32
     sign: jax.Array  # (K, Mp)
@@ -82,9 +84,16 @@ class FormulaDevice(NamedTuple):
     clause_mask: jax.Array  # (Mp,)
     var_occ: jax.Array  # (Np, D) int32
     occ_mask: jax.Array  # (Np, D)
+    planes: Optional[jax.Array] = None  # (S, R, SPAN) sign-baked windows
+    span_lo: Optional[jax.Array] = None  # (S, n_spans) int32 window offsets
+    span_bias: Optional[jax.Array] = None  # (S, K, Mp_local)
 
 
-def formula_device(fa: FormulaArrays, dtype=jnp.float32) -> FormulaDevice:
+def formula_device(
+    fa: FormulaArrays, dtype=jnp.float32, matmul_dtype: str = "float32"
+) -> FormulaDevice:
+    plan = fa.shard_plan
+    mm = jnp.bfloat16 if matmul_dtype == "bfloat16" else jnp.float32
     return FormulaDevice(
         lit_var=jnp.asarray(fa.lit_var),
         sign=jnp.asarray(fa.sign, dtype=dtype),
@@ -92,6 +101,9 @@ def formula_device(fa: FormulaArrays, dtype=jnp.float32) -> FormulaDevice:
         clause_mask=jnp.asarray(fa.clause_mask, dtype=dtype),
         var_occ=jnp.asarray(fa.var_occ),
         occ_mask=jnp.asarray(fa.occ_mask, dtype=dtype),
+        planes=None if plan is None else jnp.asarray(plan.planes).astype(mm),
+        span_lo=None if plan is None else jnp.asarray(plan.lo),
+        span_bias=None if plan is None else jnp.asarray(plan.bias),
     )
 
 
@@ -178,6 +190,7 @@ def make_step_fn(
     ode: ODEConfig,
     clause_axis: Optional[str] = None,
     traj_axis: Optional[str] = None,
+    derivs_fn=None,
 ):
     """Build ``step(state, dev) -> state`` for a batched ODEState.
 
@@ -186,6 +199,12 @@ def make_step_fn(
     norm are reduced with psum/pmax over ICI. ``traj_axis`` only matters
     for ``dt_mode="shared"`` inside shard_map, where the batch-wide error
     max must also reduce over the trajectory mesh axis.
+
+    ``derivs_fn(v, xs, xl, dev) -> (dv, dxs, dxl, allsat)`` overrides the
+    RHS evaluation (shard-local, pre-reduction) — used by the
+    clause-sharded streaming kernel (ops/shard_stream.py) to supply a
+    Pallas RHS while sharing this function's integrator semantics and
+    collective plumbing.
     """
     xl_cap = XL_CAP_PER_CLAUSE * fa.n_clauses  # real clause count (src/system.rs:95)
     zeta = float(zeta)
@@ -200,10 +219,11 @@ def make_step_fn(
         # clause slots; under a clause shard each device only holds its
         # slice, so fall back to a local segment-sum + psum.
         dv_strategy = "segment_sum"
-    if clause_axis is not None and len(fa.bucket_slices) > 1:
+    if clause_axis is not None and derivs_fn is None and len(fa.bucket_slices) > 1:
         raise ValueError(
-            "width-bucketed formulas cannot be clause-sharded; "
-            "compile with bucket=False for a clause mesh"
+            "width-bucketed formulas need the clause-sharded streaming "
+            "kernel (ops/shard_stream.py); the scan fallback requires "
+            "bucket=False on a clause mesh"
         )
     if dv_strategy == "onehot" and fa.min_width < 2:
         # unit clauses carry infinite gradients (see ops/rhs.py); the
@@ -225,6 +245,12 @@ def make_step_fn(
         )
 
     def derivs(v, xs, xl, dev: FormulaDevice):
+        if derivs_fn is not None:
+            dv, dxs, dxl, allsat = derivs_fn(v, xs, xl, dev)
+            if clause_axis is not None:
+                dv = jax.lax.psum(dv, clause_axis)
+                allsat = jax.lax.psum((~allsat).astype(jnp.int32), clause_axis) == 0
+            return dv, dxs, dxl, allsat
         if pallas_rhs is not None:
             return pallas_rhs(v, xs, xl)
         dv, dxs, dxl, allsat = rhs_ops.compute_derivatives(
@@ -456,7 +482,7 @@ def simulate_batch(
         state = jax.tree.map(jnp.asarray, loaded)
     else:
         state = init_state(fa, config.batch_size, key, ode, v0=v0)
-    dev = formula_device(fa, dtype=_dtype(ode))
+    dev = formula_device(fa, dtype=_dtype(ode), matmul_dtype=ode.matmul_dtype)
 
     # Small batches are dispatch-latency bound (the remote TPU round trip
     # dwarfs the step cost): grow the chunk toward a constant amount of

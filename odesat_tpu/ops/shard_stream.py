@@ -180,7 +180,7 @@ def compile_stream_sharded(
             var_occ[i, : len(occ)] = occ
             occ_mask[i, : len(occ)] = 1.0
 
-    fa = FormulaArrays(
+    fa_fields = dict(
         lit_var=lit_var,
         sign=sign,
         lit_mask=lit_mask,
@@ -265,6 +265,7 @@ def compile_stream_sharded(
         bias=bias,
         max_group_rows=max((kb * w for _, kb, w, _ in span_meta), default=SPAN),
     )
+    fa = FormulaArrays(**fa_fields, shard_plan=plan)
     return fa, plan
 
 
@@ -348,7 +349,9 @@ def make_stream_shard_rhs(
                 g_dma(sp + 1, (sp + 1) % 2).start()
             g_dma(sp, slot).wait()
             r0, kb, w, c0 = span_meta[sp]
-            lo = lo_ref[sp]
+            # window offsets are 128-aligned by construction; Mosaic
+            # needs the hint to allow the dynamic lane slice
+            lo = pl.multiple_of(lo_ref[sp], SPAN)
             vwin = v16_ref[:, pl.ds(lo, w)]
             xs = xs_ref[:, c0 : c0 + SPAN]
             xl = xl_ref[:, c0 : c0 + SPAN]
@@ -417,11 +420,12 @@ def make_stream_shard_rhs(
         if B % Bb:
             Bb = B  # tiny odd batches: single block
 
+        # index maps receive (grid_idx, *scalar_prefetch_refs)
         row_blk = lambda shape: pl.BlockSpec(  # noqa: E731
-            shape, lambda i: (i, 0), memory_space=pltpu.VMEM
+            shape, lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         )
         const_blk = lambda shape: pl.BlockSpec(  # noqa: E731
-            shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            shape, lambda i, *_: (0,) * len(shape), memory_space=pltpu.VMEM
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -432,7 +436,7 @@ def make_stream_shard_rhs(
                 row_blk((Bb, Mp)),
                 const_blk(bias.shape),
                 const_blk((1, Mp)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
                 row_blk((Bb, Np)),

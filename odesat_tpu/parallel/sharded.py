@@ -44,13 +44,54 @@ DEV_SPECS = FormulaDevice(
     clause_mask=P("clause"),
     var_occ=P(),  # only used unsharded; replicated
     occ_mask=P(),
+    planes=P("clause"),  # per-shard streaming planes (leading shard axis)
+    span_lo=P("clause"),
+    span_bias=P("clause"),
 )
+
+
+def _dev_specs(has_plan: bool) -> FormulaDevice:
+    """DEV_SPECS with None for the plan arrays when absent — tree.map /
+    jit-shardings over (dev, specs) need matching structures, and None
+    is an empty pytree node."""
+    if has_plan:
+        return DEV_SPECS
+    return FormulaDevice(*DEV_SPECS[:6], planes=None, span_lo=None, span_bias=None)
+
+
+def dev_specs_for(dev: FormulaDevice) -> FormulaDevice:
+    return _dev_specs(dev.planes is not None)
 
 
 def compile_for_mesh(formula, config: SolverConfig, mesh: Mesh) -> FormulaArrays:
     """Compile with padding compatible with the mesh: the clause axis must
-    divide evenly across the 'clause' dimension."""
+    divide evenly across the 'clause' dimension.
+
+    With a non-trivial clause axis and an eligible formula (no unit
+    clauses), the clause layout comes from
+    ops/shard_stream.compile_stream_sharded — identical per-shard
+    segments whose planes feed the clause-sharded streaming kernel; the
+    resulting FormulaArrays is an ordinary one (the scan fallback runs
+    it unchanged) carrying its StreamShardPlan in ``fa.shard_plan``."""
     n_clause = mesh.shape.get("clause", 1)
+    if n_clause > 1 and config.ode.dv_strategy in ("auto", "stream"):
+        from odesat_tpu.ops.shard_stream import (
+            compile_stream_sharded,
+            stream_shard_supported,
+        )
+
+        fa, plan = compile_stream_sharded(
+            formula,
+            n_clause,
+            var_pad=config.var_pad,
+            bucket=config.bucket != "off",
+            window_sort=config.window_sort,
+        )
+        itemsize = 2 if config.ode.matmul_dtype == "bfloat16" else 4
+        if stream_shard_supported(fa, plan, itemsize):
+            return fa
+        # ineligible (unit clauses, budget): fall through to the plain
+        # layout the scan path needs (single full-width bucket)
     clause_pad = config.clause_pad * n_clause
     return compile_formula(formula, clause_pad=clause_pad, var_pad=config.var_pad)
 
@@ -61,7 +102,9 @@ def shard_inputs(state: ODEState, dev: FormulaDevice, mesh: Mesh):
         lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)), state, STATE_SPECS
     )
     dev = jax.tree.map(
-        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)), dev, DEV_SPECS
+        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
+        dev,
+        dev_specs_for(dev),
     )
     return state, dev
 
@@ -88,14 +131,52 @@ def make_sharded_chunk_runner(
             "use dv_strategy='auto' (scan path) or per-trajectory dt"
         )
 
-    if clause_axis is not None and ode.dv_strategy in ("fused", "stream"):
-        # an explicitly forced chunk kernel must not be silently remapped
-        # (single-device make_chunk_runner raises for unsupported formulas;
-        # the mesh path matches)
+    if clause_axis is not None and ode.dv_strategy == "fused":
+        # the resident kernel is a whole-chunk program — it cannot psum
+        # dv mid-step; an explicitly forced 'fused' must not be silently
+        # remapped (single-device make_chunk_runner raises likewise)
         raise ValueError(
-            f"dv_strategy={ode.dv_strategy!r} does not support a clause mesh "
-            "axis; use dv_strategy='auto' or a trajectory-only mesh"
+            "dv_strategy='fused' does not support a clause mesh axis; "
+            "use dv_strategy='auto'/'stream' or a trajectory-only mesh"
         )
+
+    derivs_fn = None
+    if clause_axis is not None and ode.dv_strategy in ("auto", "stream"):
+        # clause-sharded streaming kernel: per-shard windowed-plane RHS
+        # (ops/shard_stream.py), dv psum'd over the axis by make_step_fn
+        from odesat_tpu.ops.shard_stream import (
+            make_stream_shard_rhs,
+            stream_shard_supported,
+        )
+
+        plan = fa.shard_plan
+        itemsize = 2 if ode.matmul_dtype == "bfloat16" else 4
+        eligible = (
+            plan is not None
+            and plan.n_shards == n_clause
+            and ode.dtype == "float32"
+            and not shared_adaptive
+            and stream_shard_supported(fa, plan, itemsize)
+        )
+        if ode.dv_strategy == "stream" and not eligible:
+            raise ValueError(
+                "dv_strategy='stream' on a clause mesh needs a formula "
+                "compiled via compile_for_mesh (clause-sharded plan) with "
+                "no unit clauses, dtype=float32, per-trajectory dt"
+            )
+        if eligible:
+            rhs = make_stream_shard_rhs(plan, zeta, ode)
+
+            def derivs_fn(v, xs, xl, dev):
+                return rhs(
+                    v,
+                    xs,
+                    xl,
+                    dev.planes[0],
+                    dev.span_lo[0],
+                    dev.span_bias[0],
+                    dev.clause_mask,
+                )
 
     if (
         clause_axis is None
@@ -135,6 +216,7 @@ def make_sharded_chunk_runner(
         ode,
         clause_axis=clause_axis,
         traj_axis="traj" if clause_axis is not None else None,
+        derivs_fn=derivs_fn,
     )
 
     def run_chunk(state: ODEState, dev: FormulaDevice) -> ODEState:
@@ -144,12 +226,13 @@ def make_sharded_chunk_runner(
         out, _ = jax.lax.scan(body, state, None, length=chunk_steps)
         return out
 
+    dspecs = _dev_specs(fa.shard_plan is not None)
     if clause_axis is None:
         return jax.jit(
             run_chunk,
             in_shardings=(
                 jax.tree.map(lambda s: NamedSharding(mesh, s), STATE_SPECS),
-                jax.tree.map(lambda s: NamedSharding(mesh, s), DEV_SPECS),
+                jax.tree.map(lambda s: NamedSharding(mesh, s), dspecs),
             ),
             out_shardings=jax.tree.map(lambda s: NamedSharding(mesh, s), STATE_SPECS),
             donate_argnums=0,
@@ -158,8 +241,10 @@ def make_sharded_chunk_runner(
     sharded = shard_map(
         run_chunk,
         mesh=mesh,
-        in_specs=(STATE_SPECS, DEV_SPECS),
+        in_specs=(STATE_SPECS, dspecs),
         out_specs=STATE_SPECS,
+        # the Pallas RHS outputs carry no varying-mesh-axes info
+        check_vma=derivs_fn is None,
     )
     return jax.jit(sharded, donate_argnums=0)
 
