@@ -270,7 +270,11 @@ def cmd_stoch(args) -> int:
     print("Simulating...")
     from odesat_tpu.models.stoch import search
 
-    result = search(normalized, config)
+    try:
+        result = search(normalized, config, mesh=_mesh_from_args(args))
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        raise SystemExit(2) from None
 
     print("Mapping values...")
     mapped_values = map_values_by_indices(var_mapping, result.best_assignment())
@@ -381,7 +385,11 @@ def cmd_hybrid(args) -> int:
     from odesat_tpu.models.hybrid import hybrid_search
 
     print("Racing ODE and stochastic engines...")
-    result = hybrid_search(normalized, config)
+    try:
+        result = hybrid_search(normalized, config, mesh=_mesh_from_args(args))
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        raise SystemExit(2) from None
     print(f"Winner: {result.engine} after {result.steps} steps per engine "
           f"({result.wall_time_s:.2f}s)")
     mapped_values = map_values_by_indices(var_mapping, result.assignment)

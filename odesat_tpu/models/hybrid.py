@@ -43,10 +43,15 @@ def hybrid_search(
     formula_or_arrays,
     config: Optional[SolverConfig] = None,
     key: Optional[jax.Array] = None,
+    mesh=None,
 ) -> HybridResult:
     """Interleave ODE and stochastic chunks until either engine's batch
     reaches allsat, the per-engine step budget runs out, or the
-    wall-clock budget expires."""
+    wall-clock budget expires.
+
+    ``mesh``: a trajectory-only mesh shards both engines' batches as
+    pure DP (the stochastic engine has no clause-sharded path, so a
+    clause axis > 1 raises)."""
     config = config or SolverConfig()
     if isinstance(formula_or_arrays, FormulaArrays):
         fa = formula_or_arrays
@@ -69,13 +74,49 @@ def hybrid_search(
     k_ode, k_stoch = jax.random.split(key)
 
     chunk = config.chunk_steps
-    ode_runner = make_chunk_runner(fa, zeta, ode, chunk)
-    stoch_runner = make_stoch_chunk_runner(
-        fa, chunk, matmul_dtype=ode.matmul_dtype
-    )
     dev = formula_device(fa)
     ode_state = init_state(fa, config.batch_size, k_ode, ode)
     stoch_state = init_stoch_state(fa, config.batch_size, k_stoch)
+    if mesh is not None:
+        from odesat_tpu.models.stoch import StochState
+        from odesat_tpu.parallel.sharded import (
+            make_sharded_chunk_runner,
+            make_sharded_stoch_runner,
+            shard_inputs,
+            shard_stoch_inputs,
+        )
+
+        if mesh.shape.get("clause", 1) > 1:
+            raise ValueError(
+                "hybrid mode supports trajectory sharding only (the "
+                "stochastic engine has no clause-sharded path); use a "
+                "(n, 1) mesh"
+            )
+        n_traj = mesh.shape["traj"]
+        if config.batch_size % n_traj:
+            raise ValueError(
+                f"batch_size={config.batch_size} does not divide across "
+                f"{n_traj} trajectory devices"
+            )
+        ode_runner = make_sharded_chunk_runner(fa, zeta, ode, chunk, mesh)
+        stoch_runner = make_sharded_stoch_runner(
+            fa, chunk, mesh, matmul_dtype=ode.matmul_dtype
+        )
+        ode_state, dev = shard_inputs(ode_state, dev, mesh)
+        stoch_state = shard_stoch_inputs(
+            StochState(
+                stoch_state.v,
+                stoch_state.xl,
+                stoch_state.done,
+                jax.random.split(k_stoch, n_traj),
+            ),
+            mesh,
+        )
+    else:
+        ode_runner = make_chunk_runner(fa, zeta, ode, chunk)
+        stoch_runner = make_stoch_chunk_runner(
+            fa, chunk, matmul_dtype=ode.matmul_dtype
+        )
 
     budget = ode.steps
     steps = 0

@@ -126,12 +126,15 @@ def make_stoch_chunk_runner(
     chunk_steps: int,
     fused: str = "auto",
     matmul_dtype: str = "float32",
+    donate: bool = True,
 ):
     """fused: "auto" picks the multi-step resident Pallas kernel on TPU
     when the formula fits its VMEM envelope (ops/stoch_pallas.py), then
     the HBM-streaming variant for larger formulas; "on"/"off" force.
     The kernels' PRNG stream differs from the scan path's jax.random
-    stream (reproducible per seed within one path)."""
+    stream (reproducible per seed within one path). ``donate=False``
+    when the runner is re-wrapped (e.g. under shard_map, where the
+    wrapper owns donation)."""
     if fused != "off":
         from odesat_tpu.ops.stoch_pallas import (
             make_fused_stoch_chunk,
@@ -145,14 +148,14 @@ def make_stoch_chunk_runner(
         ):
             # already jitted inside (shape-cached; donated state)
             return make_fused_stoch_chunk(
-                fa, chunk_steps, donate=True, matmul_dtype=matmul_dtype
+                fa, chunk_steps, donate=donate, matmul_dtype=matmul_dtype
             )
         itemsize = 2 if matmul_dtype == "bfloat16" else 4
         if stoch_stream_supported(fa, itemsize) and (
             fused == "on" or jax.default_backend() == "tpu"
         ):
             return make_stream_stoch_chunk(
-                fa, chunk_steps, matmul_dtype=matmul_dtype, donate=True
+                fa, chunk_steps, matmul_dtype=matmul_dtype, donate=donate
             )
 
     step = make_stoch_step(fa)
@@ -164,13 +167,14 @@ def make_stoch_chunk_runner(
         out, _ = jax.lax.scan(body, state, None, length=chunk_steps)
         return out
 
-    return jax.jit(run_chunk, donate_argnums=0)
+    return jax.jit(run_chunk, donate_argnums=0 if donate else ())
 
 
 def search(
     formula_or_arrays,
     config: Optional[SolverConfig] = None,
     key: Optional[jax.Array] = None,
+    mesh=None,
 ) -> StochResult:
     """Batched stochastic search (reference: src/stoch.rs:80-110 runs one
     chain; here ``config.batch_size`` chains run vmapped with early exit
@@ -179,7 +183,14 @@ def search(
     Honors the same ops plumbing as the ODE loop (models/ode.py
     simulate_batch): step and wall-clock budgets, ``resume_from`` /
     ``checkpoint_path`` + ``checkpoint_every_chunks`` StochState
-    snapshots, ``log_every_chunks`` progress metrics, ``profile_dir``."""
+    snapshots, ``log_every_chunks`` progress metrics, ``profile_dir``.
+
+    ``mesh``: a trajectory-only ('traj', 'clause'=1) jax Mesh shards the
+    chain batch as pure data parallelism, one PRNG key per device
+    (parallel/sharded.make_sharded_stoch_runner); clause shards raise —
+    chains are cheap per-clause, there is nothing to shard. The sharded
+    PRNG stream differs from the single-device stream for the same seed
+    (per-device key splits); runs are reproducible per (seed, mesh)."""
     config = config or SolverConfig()
     fa = (
         formula_or_arrays
@@ -195,18 +206,59 @@ def search(
         seed = config.seed if config.seed is not None else int.from_bytes(__import__("os").urandom(4), "little")
         key = jax.random.PRNGKey(seed)
 
+    if mesh is not None:
+        from odesat_tpu.parallel.sharded import make_sharded_stoch_runner
+
+        n_traj = mesh.shape.get("traj", 1)
+        if mesh.shape.get("clause", 1) > 1:
+            raise ValueError(
+                "the stochastic engine supports trajectory sharding only; "
+                "use a (n, 1) mesh"
+            )
+        if config.batch_size % n_traj:
+            raise ValueError(
+                f"batch_size={config.batch_size} does not divide across "
+                f"{n_traj} trajectory devices"
+            )
+
+        def make_runner(n):
+            return make_sharded_stoch_runner(
+                fa, n, mesh, matmul_dtype=config.ode.matmul_dtype
+            )
+
+    else:
+
+        def make_runner(n):
+            return make_stoch_chunk_runner(
+                fa, n, matmul_dtype=config.ode.matmul_dtype
+            )
+
     steps_resumed = 0
     if config.resume_from:
         from odesat_tpu.utils.checkpoint import load_state
 
         loaded, steps_resumed = load_state(config.resume_from, StochState)
         state = jax.tree.map(jnp.asarray, loaded)
+        if mesh is not None and state.key.ndim != 2:
+            raise ValueError(
+                "cannot resume a single-device stoch snapshot on a mesh "
+                "(per-device key layout differs); resume without --devices"
+            )
     else:
         state = init_stoch_state(fa, config.batch_size, key)
+        if mesh is not None:
+            state = StochState(
+                state.v,
+                state.xl,
+                state.done,
+                jax.random.split(key, mesh.shape["traj"]),
+            )
+    if mesh is not None:
+        from odesat_tpu.parallel.sharded import shard_stoch_inputs as _ssi
+
+        state = _ssi(state, mesh)
     chunk_steps = config.chunk_steps
-    runner = make_stoch_chunk_runner(
-        fa, chunk_steps, matmul_dtype=config.ode.matmul_dtype
-    )
+    runner = make_runner(chunk_steps)
     tail_runner = None
 
     budget = config.ode.steps
@@ -239,9 +291,7 @@ def search(
                 break
             if remaining is not None and remaining < chunk_steps:
                 if tail_runner is None:
-                    tail_runner = make_stoch_chunk_runner(
-                        fa, remaining, matmul_dtype=config.ode.matmul_dtype
-                    )
+                    tail_runner = make_runner(remaining)
                 state = tail_runner(state)
                 steps_run += remaining
             else:
@@ -251,9 +301,7 @@ def search(
             if big_chunk and chunks == GROW_AFTER:
                 remaining_after = None if budget is None else budget - steps_run
                 if remaining_after is None or remaining_after > big_chunk:
-                    runner = make_stoch_chunk_runner(
-                        fa, big_chunk, matmul_dtype=config.ode.matmul_dtype
-                    )
+                    runner = make_runner(big_chunk)
                     chunk_steps = big_chunk
                 big_chunk = 0
 

@@ -249,6 +249,55 @@ def make_sharded_chunk_runner(
     return jax.jit(sharded, donate_argnums=0)
 
 
+def make_sharded_stoch_runner(
+    fa: FormulaArrays, chunk_steps: int, mesh: Mesh, matmul_dtype: str = "float32"
+):
+    """Trajectory-DP stoch chunk runner: each device runs the (kernel or
+    scan) chunk on its batch slice with its own PRNG key — chains are
+    independent, so the only cross-device traffic is the host's done
+    pull. The sharded state's ``key`` leading axis is the device axis
+    ((n_traj, 2) keys from jax.random.split), NOT a batch axis.
+
+    Reference anchor: per-step chain independence, src/stoch.rs:26-78.
+    """
+    from odesat_tpu.models.stoch import StochState, make_stoch_chunk_runner
+
+    if mesh.shape.get("clause", 1) > 1:
+        raise ValueError(
+            "the stochastic engine supports trajectory sharding only; "
+            "use a (n, 1) mesh (its per-variable weight sums are cheap — "
+            "clause sharding has nothing to win)"
+        )
+    inner = make_stoch_chunk_runner(
+        fa, chunk_steps, matmul_dtype=matmul_dtype, donate=False
+    )
+
+    def local(state: StochState) -> StochState:
+        st = StochState(state.v, state.xl, state.done, state.key[0])
+        out = inner(st)
+        return StochState(out.v, out.xl, out.done, out.key[None])
+
+    specs = StochState(v=P("traj"), xl=P("traj"), done=P("traj"), key=P("traj"))
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(specs,),
+        out_specs=specs,
+        check_vma=False,  # pallas_call outputs carry no vma info
+    )
+    return jax.jit(sharded, donate_argnums=0)
+
+
+def shard_stoch_inputs(state, mesh: Mesh):
+    """Lay a StochState (with (n_traj, 2) per-device keys) out on the mesh."""
+    from odesat_tpu.models.stoch import StochState
+
+    specs = StochState(v=P("traj"), xl=P("traj"), done=P("traj"), key=P("traj"))
+    return jax.tree.map(
+        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)), state, specs
+    )
+
+
 def simulate_batch_sharded(
     formula,
     config: SolverConfig,

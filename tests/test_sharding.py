@@ -249,3 +249,82 @@ def test_sharded_explicit_kernel_clause_axis_raises(data_dir):
         make_sharded_chunk_runner(
             fa, 0.001, ODEConfig(step_size=0.01, dv_strategy="fused"), 4, mesh
         )
+
+
+def test_stoch_sharded_matches_per_slice_runs(data_dir):
+    """Trajectory-DP stoch on the mesh == running each device's slice
+    single-device with that device's key (exact: both sides use the
+    scan path on CPU)."""
+    import jax.numpy as jnp
+
+    from odesat_tpu.cnf import parse_dimacs_file
+    from odesat_tpu.models.stoch import (
+        StochState,
+        init_stoch_state,
+        make_stoch_chunk_runner,
+    )
+    from odesat_tpu.parallel.sharded import (
+        make_sharded_stoch_runner,
+        shard_stoch_inputs,
+    )
+
+    formula = parse_dimacs_file(os.path.join(data_dir, "hard.cnf"))
+    from odesat_tpu.cnf import normalize_cnf_variables as _norm
+
+    _, normalized = _norm(formula)
+    from odesat_tpu.cnf import compile_formula as _cf
+
+    fa = _cf(normalized)
+    n_dev, per = 8, 4
+    B = n_dev * per
+    key = jax.random.PRNGKey(7)
+    keys = jax.random.split(key, n_dev)
+
+    mesh = make_mesh(n_dev, 1)
+    state = init_stoch_state(fa, B, key)
+    state = StochState(state.v, state.xl, state.done, keys)
+    state = shard_stoch_inputs(state, mesh)
+    runner = make_sharded_stoch_runner(fa, 16, mesh)
+    out = runner(state)
+
+    single = make_stoch_chunk_runner(fa, 16, donate=False)
+    for d in range(n_dev):
+        st_d = init_stoch_state(fa, per, keys[d])
+        ref = single(st_d)
+        np.testing.assert_array_equal(
+            np.asarray(out.v)[d * per : (d + 1) * per], np.asarray(ref.v)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.xl)[d * per : (d + 1) * per], np.asarray(ref.xl)
+        )
+
+
+def test_stoch_sharded_rejects_clause_axis(data_dir):
+    from odesat_tpu.cnf import compile_formula as _cf
+    from odesat_tpu.cnf import normalize_cnf_variables as _norm
+    from odesat_tpu.cnf import parse_dimacs_file
+    from odesat_tpu.parallel.sharded import make_sharded_stoch_runner
+
+    formula = parse_dimacs_file(os.path.join(data_dir, "hard.cnf"))
+    _, normalized = _norm(formula)
+    fa = _cf(normalized)
+    import pytest
+
+    with pytest.raises(ValueError, match="trajectory sharding only"):
+        make_sharded_stoch_runner(fa, 8, make_mesh(4, 2))
+
+
+def test_hybrid_sharded_runs(data_dir):
+    from odesat_tpu.cnf import parse_dimacs_file
+    from odesat_tpu.cnf import normalize_cnf_variables as _norm
+    from odesat_tpu.models.hybrid import hybrid_search
+
+    formula = parse_dimacs_file(os.path.join(data_dir, "small.cnf"))
+    _, normalized = _norm(formula)
+    config = SolverConfig(
+        ode=ODEConfig(step_size=0.01, steps=600), batch_size=16, seed=0,
+        chunk_steps=64,
+    )
+    result = hybrid_search(normalized, config, mesh=make_mesh(8, 1))
+    assert result.solved
+    assert result.engine in ("ode", "stoch")
