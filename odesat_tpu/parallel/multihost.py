@@ -8,9 +8,10 @@ between-chunk done-flag reduce rides DCN — so scaling across hosts is
 embarrassingly parallel. Clause sharding should stay *within* a host's
 ICI domain; ``make_pod_mesh`` lays the mesh out accordingly.
 
-This module is exercised only single-process in this environment (no
-multi-host hardware); it is the documented, tested-by-construction entry
-point for pod runs.
+Tested for real in tests/test_multihost.py: two coordinated CPU
+processes (`jax.distributed.initialize` with an explicit coordinator)
+build the pod mesh, run a sharded solve chunk over the global mesh, and
+assert parity with the single-process result.
 """
 
 from __future__ import annotations
@@ -26,19 +27,32 @@ def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    initialization_timeout: Optional[int] = None,
 ) -> None:
     """Initialize multi-host JAX. No-ops when running single-process
-    (all arguments None and no cluster env detected)."""
+    (all arguments None and no cluster env detected).
+
+    Only the *absence of a detectable cluster* is swallowed (ValueError:
+    "coordinator_address should be defined" / RuntimeError from cluster
+    autodetection). A real cluster misconfiguration — wrong address,
+    handshake failure — propagates instead of silently degrading to
+    single-process (round-1 ADVICE)."""
     if coordinator_address is None and num_processes is None and process_id is None:
         try:
             jax.distributed.initialize()  # cluster auto-detection (TPU pods)
-        except Exception:  # noqa: BLE001 — single-process fallback
-            return
+        except (ValueError, RuntimeError) as e:
+            if "coordinator_address" in str(e) or "auto" in str(e).lower():
+                return  # no cluster env: single-process
+            raise
     else:
+        kwargs = {}
+        if initialization_timeout is not None:
+            kwargs["initialization_timeout"] = initialization_timeout
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
+            **kwargs,
         )
 
 
