@@ -265,8 +265,30 @@ def make_fused_chunk(
         Bh = Bb // H
         rows_h = lambda h: pl.ds(h * Bh, Bh)  # noqa: E731
 
-        def body(_, carry):
-            return tuple(step_one(*sub) for sub in carry)
+        if fixed and H > 1:
+            # stage-interleaved: emit every tile's forward matmul first,
+            # then the per-tile vector work + scatter, then the updates —
+            # adjacent independent MXU/VPU work gives the scheduler
+            # overlap windows that tile-sequential emission denies it
+            def body(_, carry):
+                vals = [forward(sub[0]) for sub in carry]
+                rhss = [
+                    rhs_from_vals(va, sub[0], sub[1], sub[2])
+                    for sub, va in zip(carry, vals)
+                ]
+                outs = []
+                for (v, xs, xl, dt, done), (dv, dxs, dxl, allsat) in zip(carry, rhss):
+                    active = done < 0.5
+                    dt_col = jnp.where(active, dt_fixed, 0.0)
+                    v, xs, xl = update(v, xs, xl, dv, dxs, dxl, dt_col)
+                    done = jnp.maximum(done, allsat.astype(done.dtype))
+                    outs.append((v, xs, xl, dt, done))
+                return tuple(outs)
+
+        else:
+
+            def body(_, carry):
+                return tuple(step_one(*sub) for sub in carry)
 
         carry = tuple(
             (

@@ -315,13 +315,19 @@ def make_stream_chunk(
             # sign-baked planes' -q_i so the scatter lands as +q_i/2 * (.)
             a = -0.5 * (xl * xs)
             b = -0.5 * ((1.0 + zeta_c * xl) * (1.0 - xs))
+            # A1/A2 hoisting (see ops/fused_pallas.py): 4 VPU ops per
+            # literal slot instead of 6, f32-exact identical
+            A1 = a * m1
+            A2 = a * m2
             dv = jnp.zeros((Bb, w), dtype=jnp.float32)
             for k in range(kb):
                 valk = vals_ref[k]
                 is_min = valk <= m1
-                minx = jnp.where(is_min, m2, m1)
-                gate = is_min if paper else valk == c
-                contrib = a * minx + b * (valk * gate.astype(jnp.float32))
+                if paper:
+                    contrib = jnp.where(is_min, A2 + b * valk, A1)
+                else:
+                    gate = (valk == c).astype(jnp.float32)
+                    contrib = jnp.where(is_min, A2, A1) + b * (valk * gate)
                 dv = dv + jax.lax.dot_general(
                     contrib.astype(mm_dtype),
                     gbuf[slot, k * w : (k + 1) * w],
