@@ -77,6 +77,12 @@ def _add_common(p: argparse.ArgumentParser, batch_required: bool = False) -> Non
     p.add_argument("--resume", default=None, help="resume a solve from a snapshot (.npz)")
     p.add_argument("--log-every", type=int, default=0, help="chunks between progress logs")
     p.add_argument("--wall-clock-budget", type=float, default=None, help="seconds budget")
+    p.add_argument(
+        "--no-preprocess",
+        action="store_true",
+        help="skip the resolution preprocessor in solve/stoch/hybrid "
+        "(batch/inter never preprocess — reference parity, src/main.rs:269,341)",
+    )
 
 
 def _build_parser() -> argparse.ArgumentParser:
@@ -170,6 +176,7 @@ def _config_from_args(args, batch_size: int = 1) -> SolverConfig:
     return SolverConfig(
         ode=ode,
         ctv_ratio=getattr(args, "ctv_ratio", None) or 7.0,
+        preprocess=not getattr(args, "no_preprocess", False),
         batch_size=batch_size,
         seed=args.seed,
         chunk_steps=args.chunk_steps,
@@ -232,13 +239,24 @@ def _load(args):
         raise SystemExit(2) from None
 
 
+def _maybe_preprocess(formula, config):
+    """Preprocess unless disabled (SolverConfig.preprocess; batch/inter
+    never call this — reference parity, src/main.rs:269,341)."""
+    if not config.preprocess:
+        from odesat_tpu.preprocess.trace import SimplificationTrace
+
+        return formula, SimplificationTrace()
+    print("Preprocessing CNF formula...")
+    reduced, trace = preprocess_formula(formula, config.ctv_ratio)
+    print(f"Clauses: {reduced.num_clauses} | Vars: {reduced.varnum}")
+    return reduced, trace
+
+
 def cmd_solve(args) -> int:
     formula = _load(args)
     config = _config_from_args(args)
 
-    print("Preprocessing CNF formula...")
-    reduced, trace = preprocess_formula(formula, config.ctv_ratio)
-    print(f"Clauses: {reduced.num_clauses} | Vars: {reduced.varnum}")
+    reduced, trace = _maybe_preprocess(formula, config)
     var_mapping, normalized = normalize_cnf_variables(reduced)
     if args.var_order == "bandwidth":
         var_mapping, normalized = bandwidth_reorder(var_mapping, normalized)
@@ -260,9 +278,7 @@ def cmd_stoch(args) -> int:
     formula = _load(args)
     config = _config_from_args(args, batch_size=args.batch_size)
 
-    print("Preprocessing CNF formula...")
-    reduced, trace = preprocess_formula(formula, config.ctv_ratio)
-    print(f"Clauses: {reduced.num_clauses} | Vars: {reduced.varnum}")
+    reduced, trace = _maybe_preprocess(formula, config)
     var_mapping, normalized = normalize_cnf_variables(reduced)
     if args.var_order == "bandwidth":
         var_mapping, normalized = bandwidth_reorder(var_mapping, normalized)
@@ -375,9 +391,7 @@ def cmd_hybrid(args) -> int:
     formula = _load(args)
     config = _config_from_args(args, batch_size=args.batch_size)
 
-    print("Preprocessing CNF formula...")
-    reduced, trace = preprocess_formula(formula, config.ctv_ratio)
-    print(f"Clauses: {reduced.num_clauses} | Vars: {reduced.varnum}")
+    reduced, trace = _maybe_preprocess(formula, config)
     var_mapping, normalized = normalize_cnf_variables(reduced)
     if args.var_order == "bandwidth":
         var_mapping, normalized = bandwidth_reorder(var_mapping, normalized)

@@ -389,3 +389,26 @@ def test_cli_hybrid_with_devices(data_dir, capsys):
     captured = capsys.readouterr().out
     assert rc == 0
     assert "Checking if solution vector satisfies formula: true" in captured
+
+
+def test_cli_solve_no_preprocess(data_dir, capsys):
+    rc = main(
+        [
+            "solve",
+            "-f",
+            os.path.join(data_dir, "easy.cnf"),
+            "-n",
+            "4000",
+            "-s",
+            "0.01",
+            "--seed",
+            "2",
+            "--no-preprocess",
+            "--chunk-steps",
+            "256",
+        ]
+    )
+    captured = capsys.readouterr().out
+    assert rc == 0
+    assert "Preprocessing" not in captured
+    assert "Checking if solution vector satisfies formula: true" in captured

@@ -59,13 +59,15 @@ def test_compile_stream_sharded_layout():
     assert stream_shard_supported(fa, plan)
 
 
-@pytest.mark.parametrize("n_shards", [1, 2, 4])
-def test_shard_rhs_matches_scan(n_shards):
+@pytest.mark.parametrize(
+    "n_shards,rigidity", [(1, "paper"), (2, "paper"), (4, "paper"), (2, "reference")]
+)
+def test_shard_rhs_matches_scan(n_shards, rigidity):
     """Sum of per-shard kernel dv == global scan RHS (up to float
     summation order); dxs/dxl/allsat per shard segment match exactly."""
     normalized = _mixed_width_formula(seed=11)
     fa, plan = compile_stream_sharded(normalized, n_shards)
-    ode = ODEConfig(step_size=0.01)
+    ode = ODEConfig(step_size=0.01, rigidity=rigidity)
     rhs = make_stream_shard_rhs(plan, 0.001, ode, interpret=True)
 
     B = 4
@@ -85,7 +87,7 @@ def test_shard_rhs_matches_scan(n_shards):
         var_occ=dev.var_occ,
         occ_mask=dev.occ_mask,
         zeta=0.001,
-        rigidity="paper",
+        rigidity=rigidity,
         dv_strategy="segment_sum",
         bucket_slices=fa.bucket_slices,
     )
