@@ -281,15 +281,19 @@ def stream_shard_supported(fa, plan: StreamShardPlan, itemsize: int = 4) -> bool
 
 def _pick_traj_block(batch: int, Np: int, Mp_local: int, group_rows: int, itemsize: int) -> int:
     """Largest power-of-two block dividing the batch whose VMEM footprint
-    (v copies + dv accumulator + xs/xl blocks + plane staging) fits."""
+    fits. xs/xl/dxs/dxl are span-streamed through a small staging buffer
+    (not whole VMEM blocks), so the footprint is v-dominated: at
+    Np=10240 this allows 256-row blocks where whole-block staging forced
+    32 (8x more MXU rows per pass)."""
     bb = 512
     while bb > 8 and batch % bb:
         bb //= 2
     while bb > 8:
         footprint = (
-            bb * Np * (4 * 4 + itemsize)  # v in/out + dv out + dv acc + v16
-            + bb * Mp_local * 4 * 6  # xs/xl in + dxs/dxl out + pipeline copies
-            + 2 * group_rows * SPAN * itemsize
+            bb * Np * (3 * 4 + 2 * itemsize)  # v in + dv out + dv acc + v16 (+ pipeline copy)
+            + 2 * 4 * bb * SPAN * 4  # xs/xl/dxs/dxl span staging (2 slots)
+            + 2 * group_rows * SPAN * itemsize  # plane staging
+            + 4 * Mp_local * 4  # bias + cmask const blocks
         )
         if footprint <= _VMEM_BUDGET:
             break
@@ -330,31 +334,62 @@ def make_stream_shard_rhs(
 
     def kernel(lo_ref, v_ref, xs_ref, xl_ref, bias_ref, cmask_ref, g_ref,
                dv_out, dxs_out, dxl_out, sat_out,
-               gbuf, v16_ref, dv_ref, vals_ref, sat_ref, gsem):
+               gbuf, iobuf, v16_ref, dv_ref, vals_ref, sat_ref,
+               gsem, rsem, wsem):
+        i = pl.program_id(0)
         Bb = v_ref.shape[0]
+        rows = pl.ds(i * Bb, Bb)
         v16_ref[:] = v_ref[:].astype(mm_dtype)
         dv_ref[:] = jnp.zeros_like(dv_ref)
         sat_ref[:] = jnp.ones_like(sat_ref)
 
+        # xs/xl live in HBM (ANY) and stream span-by-span through iobuf
+        # (channels 0/1 = xs/xl read stage, 2/3 = dxs/dxl write stage) —
+        # whole-block staging made VMEM xs/xl-dominated at large M and
+        # forced tiny trajectory blocks. Same double-buffered DMA pattern
+        # as ops/stream_pallas.py.
         def g_dma(sp, slot):
             r0, kb, w, _ = span_meta[sp]
             return pltpu.make_async_copy(
                 g_ref.at[r0 : r0 + kb * w], gbuf.at[slot, : kb * w], gsem.at[slot]
             )
 
+        def read_dma(src, sp, slot, channel, sem_idx):
+            c0 = span_meta[sp][3]
+            return pltpu.make_async_copy(
+                src.at[rows, pl.ds(c0, SPAN)],
+                iobuf.at[slot, channel],
+                rsem.at[sem_idx],
+            )
+
+        def write_dma(dst, sp, slot, channel, sem_idx):
+            c0 = span_meta[sp][3]
+            return pltpu.make_async_copy(
+                iobuf.at[slot, channel],
+                dst.at[rows, pl.ds(c0, SPAN)],
+                wsem.at[sem_idx],
+            )
+
         g_dma(0, 0).start()
+        read_dma(xs_ref, 0, 0, 0, 0).start()
+        read_dma(xl_ref, 0, 0, 1, 1).start()
         for sp in range(S_spans):
             slot = sp % 2
             if sp + 1 < S_spans:
-                g_dma(sp + 1, (sp + 1) % 2).start()
+                nslot = (sp + 1) % 2
+                g_dma(sp + 1, nslot).start()
+                read_dma(xs_ref, sp + 1, nslot, 0, 2 + nslot * 2).start()
+                read_dma(xl_ref, sp + 1, nslot, 1, 3 + nslot * 2).start()
             g_dma(sp, slot).wait()
+            read_dma(xs_ref, sp, slot, 0, 0 if sp == 0 else 2 + slot * 2).wait()
+            read_dma(xl_ref, sp, slot, 1, 1 if sp == 0 else 3 + slot * 2).wait()
             r0, kb, w, c0 = span_meta[sp]
             # window offsets are 128-aligned by construction; Mosaic
             # needs the hint to allow the dynamic lane slice
             lo = pl.multiple_of(lo_ref[sp], SPAN)
             vwin = v16_ref[:, pl.ds(lo, w)]
-            xs = xs_ref[:, c0 : c0 + SPAN]
-            xl = xl_ref[:, c0 : c0 + SPAN]
+            xs = iobuf[slot, 0]
+            xl = iobuf[slot, 1]
 
             m1 = m2 = None
             for k in range(kb):
@@ -398,8 +433,13 @@ def make_stream_shard_rhs(
             dv_ref[:, pl.ds(lo, w)] = dv_ref[:, pl.ds(lo, w)] + dvw
 
             cmask = cmask_ref[:, c0 : c0 + SPAN]
-            dxs_out[:, c0 : c0 + SPAN] = BETA * (xs + EPSILON) * (c - GAMMA) * cmask
-            dxl_out[:, c0 : c0 + SPAN] = ALPHA * (c - DELTA) * cmask
+            if sp >= 2:
+                write_dma(dxs_out, sp - 2, slot, 2, slot * 2).wait()
+                write_dma(dxl_out, sp - 2, slot, 3, 1 + slot * 2).wait()
+            iobuf[slot, 2] = BETA * (xs + EPSILON) * (c - GAMMA) * cmask
+            iobuf[slot, 3] = ALPHA * (c - DELTA) * cmask
+            write_dma(dxs_out, sp, slot, 2, slot * 2).start()
+            write_dma(dxl_out, sp, slot, 3, 1 + slot * 2).start()
             sat_ref[:] = jnp.minimum(
                 sat_ref[:],
                 jnp.min(
@@ -408,6 +448,11 @@ def make_stream_shard_rhs(
                     keepdims=True,
                 ),
             )
+        for sp in (S_spans - 2, S_spans - 1):
+            if sp >= 0:
+                slot = sp % 2
+                write_dma(dxs_out, sp, slot, 2, slot * 2).wait()
+                write_dma(dxl_out, sp, slot, 3, 1 + slot * 2).wait()
         dv_out[:] = dv_ref[:]
         sat_out[:] = sat_ref[:]
 
@@ -427,30 +472,34 @@ def make_stream_shard_rhs(
         const_blk = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda i, *_: (0,) * len(shape), memory_space=pltpu.VMEM
         )
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
                 row_blk((Bb, Np)),
-                row_blk((Bb, Mp)),
-                row_blk((Bb, Mp)),
+                any_spec,  # xs: span-streamed from HBM
+                any_spec,  # xl
                 const_blk(bias.shape),
                 const_blk((1, Mp)),
-                pl.BlockSpec(memory_space=pl.ANY),
+                any_spec,  # planes
             ],
             out_specs=[
                 row_blk((Bb, Np)),
-                row_blk((Bb, Mp)),
-                row_blk((Bb, Mp)),
+                any_spec,  # dxs: span-streamed to HBM
+                any_spec,  # dxl
                 row_blk((Bb, 1)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((2, plan.max_group_rows, SPAN), mm_dtype),
+                pltpu.VMEM((2, 4, Bb, SPAN), jnp.float32),  # xs/xl/dxs/dxl stage
                 pltpu.VMEM((Bb, Np), mm_dtype),
                 pltpu.VMEM((Bb, Np), jnp.float32),
                 pltpu.VMEM((Kmax, Bb, SPAN), jnp.float32),
                 pltpu.VMEM((Bb, 1), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((6,)),  # span reads
+                pltpu.SemaphoreType.DMA((4,)),  # span writes
             ],
         )
         dv, dxs, dxl, sat = pl.pallas_call(
@@ -464,6 +513,7 @@ def make_stream_shard_rhs(
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
                 vmem_limit_bytes=_VMEM_BUDGET + 32 * 1024 * 1024,
             ),
             cost_estimate=pl.CostEstimate(
