@@ -41,8 +41,13 @@ def initialize_distributed(
         try:
             jax.distributed.initialize()  # cluster auto-detection (TPU pods)
         except (ValueError, RuntimeError) as e:
-            if "coordinator_address" in str(e) or "auto" in str(e).lower():
-                return  # no cluster env: single-process
+            msg = str(e)
+            if (
+                "coordinator_address" in msg  # no cluster env detected
+                or "must be called before" in msg  # backend already up, single-process
+                or "auto" in msg.lower()
+            ):
+                return  # single-process
             raise
     else:
         kwargs = {}

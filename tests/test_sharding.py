@@ -328,3 +328,53 @@ def test_hybrid_sharded_runs(data_dir):
     result = hybrid_search(normalized, config, mesh=make_mesh(8, 1))
     assert result.solved
     assert result.engine in ("ode", "stoch")
+
+
+def test_shared_dt_on_traj_mesh(data_dir):
+    """dt_mode='shared' under GSPMD trajectory sharding: the batch-wide
+    max reduces globally, so every trajectory still carries one dt and
+    it matches the unsharded shared-dt run."""
+    ode = ODEConfig(tolerance=1e-3, dt_mode="shared")
+    config = SolverConfig(ode=ode, chunk_steps=8)
+    mesh = make_mesh(8, 1)
+
+    fa, state, dev = _inputs(data_dir, config)
+    ref = make_chunk_runner(fa, 0.001, ode, 8)(
+        jax.tree.map(lambda x: x.copy(), state), dev
+    )
+
+    fa2, state2, dev2 = _inputs(data_dir, config, mesh=mesh)
+    state2, dev2 = shard_inputs(state2, dev2, mesh)
+    runner = make_sharded_chunk_runner(fa2, 0.001, ode, 8, mesh)
+    out = runner(state2, dev2)
+
+    # solved trajectories freeze their dt (no-advance semantics), so
+    # uniformity holds among the still-active rows
+    dts = np.asarray(out.dt)
+    active = ~np.asarray(out.done)
+    assert active.sum() > 1, "fixture must leave several active trajectories"
+    assert np.allclose(dts[active], dts[active][0]), "shared dt must stay uniform"
+    np.testing.assert_allclose(np.asarray(out.v), np.asarray(ref.v), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.dt), np.asarray(ref.dt), rtol=1e-6)
+
+
+def test_shared_dt_on_clause_mesh(data_dir):
+    """dt_mode='shared' inside shard_map with a clause axis: the error
+    norm pmaxes over BOTH mesh axes."""
+    ode = ODEConfig(tolerance=1e-3, dt_mode="shared", dv_strategy="segment_sum")
+    config = SolverConfig(ode=ode, chunk_steps=8, clause_pad=8)
+    mesh = make_mesh(2, 4)
+
+    fa, state, dev = _inputs(data_dir, config, mesh=mesh, batch=4)
+    ref = make_chunk_runner(fa, 0.001, ode, 8)(
+        jax.tree.map(lambda x: x.copy(), state), dev
+    )
+    state2, dev2 = shard_inputs(state, dev, mesh)
+    runner = make_sharded_chunk_runner(fa, 0.001, ode, 8, mesh)
+    out = runner(state2, dev2)
+
+    dts = np.asarray(out.dt)
+    active = ~np.asarray(out.done)
+    if active.sum() > 1:
+        assert np.allclose(dts[active], dts[active][0])
+    np.testing.assert_allclose(np.asarray(out.v), np.asarray(ref.v), rtol=1e-5, atol=1e-7)
