@@ -417,22 +417,21 @@ def cmd_gen(args) -> int:
     from odesat_tpu.utils.generate import random_ksat, random_local_ksat
 
     m = args.n_clauses if args.n_clauses is not None else int(round(4.26 * args.n_vars))
-    if args.locality is not None and args.locality < args.clause_width:
-        print(
-            f"error: --locality {args.locality} is narrower than the clause "
-            f"width k={args.clause_width}",
-            file=sys.stderr,
-        )
-        raise SystemExit(2)
-    if args.locality is not None:
-        formula = random_local_ksat(
-            args.n_vars, m, k=args.clause_width, locality=args.locality,
-            seed=args.seed, planted=True,
-        )
-    else:
-        formula = random_ksat(
-            args.n_vars, m, k=args.clause_width, seed=args.seed, planted=args.planted
-        )
+    try:
+        if args.locality is not None:
+            formula = random_local_ksat(
+                args.n_vars, m, k=args.clause_width, locality=args.locality,
+                seed=args.seed, planted=True,
+            )
+        else:
+            formula = random_ksat(
+                args.n_vars, m, k=args.clause_width, seed=args.seed, planted=args.planted
+            )
+    except ValueError as e:
+        # e.g. locality narrower than the clause width — one source of
+        # truth for the constraint lives in the generator
+        print(f"error: {e}", file=sys.stderr)
+        raise SystemExit(2) from None
     with open(args.output, "w", encoding="utf-8") as fh:
         fh.write(cnf_to_dimacs(formula))
     print(f"wrote {args.output}: {formula.varnum} vars, {formula.num_clauses} clauses")

@@ -244,6 +244,11 @@ def search(
                 "cannot resume a single-device stoch snapshot on a mesh "
                 "(per-device key layout differs); resume without --devices"
             )
+        if mesh is None and state.key.ndim == 2:
+            raise ValueError(
+                "this stoch snapshot was taken on a mesh (per-device key "
+                "layout); resume with the same --devices count"
+            )
     else:
         state = init_stoch_state(fa, config.batch_size, key)
         if mesh is not None:

@@ -271,15 +271,22 @@ def compile_stream_sharded(
 
 def stream_shard_supported(fa, plan: StreamShardPlan, itemsize: int = 4) -> bool:
     """Kernel eligibility: no unit clauses (infinite gradients, see
-    ops/rhs.py) and the per-shard plane array within its HBM budget."""
+    ops/rhs.py), the per-shard plane array within its HBM budget, and
+    the bias/cmask const blocks — which do NOT shrink with the
+    trajectory block — within a fraction of the VMEM budget."""
+    K = plan.bias.shape[1]
+    bias_vmem = (K + 1) * plan.mp_local * 4
     return (
         fa.min_width >= 2
         and plan.planes.shape[1] * SPAN * itemsize <= _G_HBM_LIMIT
         and plan.n_vars_padded % SPAN == 0
+        and bias_vmem <= _VMEM_BUDGET // 3
     )
 
 
-def _pick_traj_block(batch: int, Np: int, Mp_local: int, group_rows: int, itemsize: int) -> int:
+def _pick_traj_block(
+    batch: int, Np: int, Mp_local: int, group_rows: int, itemsize: int, Kmax: int = 3
+) -> int:
     """Largest power-of-two block dividing the batch whose VMEM footprint
     fits. xs/xl/dxs/dxl are span-streamed through a small staging buffer
     (not whole VMEM blocks), so the footprint is v-dominated: at
@@ -292,8 +299,9 @@ def _pick_traj_block(batch: int, Np: int, Mp_local: int, group_rows: int, itemsi
         footprint = (
             bb * Np * (3 * 4 + 2 * itemsize)  # v in + dv out + dv acc + v16 (+ pipeline copy)
             + 2 * 4 * bb * SPAN * 4  # xs/xl/dxs/dxl span staging (2 slots)
+            + Kmax * bb * SPAN * 4  # per-slot clause-value scratch (vals_ref)
             + 2 * group_rows * SPAN * itemsize  # plane staging
-            + 4 * Mp_local * 4  # bias + cmask const blocks
+            + (Kmax + 1) * Mp_local * 4  # bias + cmask const blocks
         )
         if footprint <= _VMEM_BUDGET:
             break
@@ -458,7 +466,9 @@ def make_stream_shard_rhs(
 
     def rhs(v, xs, xl, planes, lo, bias, cmask):
         B = v.shape[0]
-        Bb = traj_block or _pick_traj_block(B, Np, Mp, plan.max_group_rows, itemsize)
+        Bb = traj_block or _pick_traj_block(
+            B, Np, Mp, plan.max_group_rows, itemsize, Kmax
+        )
         while Bb > 8 and B % Bb:
             Bb //= 2
         grid = (B // Bb,) if B % Bb == 0 else (1,)

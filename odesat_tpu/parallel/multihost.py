@@ -45,7 +45,6 @@ def initialize_distributed(
             if (
                 "coordinator_address" in msg  # no cluster env detected
                 or "must be called before" in msg  # backend already up, single-process
-                or "auto" in msg.lower()
             ):
                 return  # single-process
             raise

@@ -74,7 +74,15 @@ def compile_for_mesh(formula, config: SolverConfig, mesh: Mesh) -> FormulaArrays
     resulting FormulaArrays is an ordinary one (the scan fallback runs
     it unchanged) carrying its StreamShardPlan in ``fa.shard_plan``."""
     n_clause = mesh.shape.get("clause", 1)
-    if n_clause > 1 and config.ode.dv_strategy in ("auto", "stream"):
+    # only pick the shard-plan layout when the runner will actually be
+    # eligible to use it — otherwise the multi-segment bucket slices
+    # would strand the formula on a path the scan fallback can't run
+    # (its bucket coords are global, shard_map slices are local)
+    kernel_eligible = (
+        config.ode.dtype == "float32"
+        and not (config.ode.dt_mode == "shared" and config.ode.step_size is None)
+    )
+    if n_clause > 1 and kernel_eligible and config.ode.dv_strategy in ("auto", "stream"):
         from odesat_tpu.ops.shard_stream import (
             compile_stream_sharded,
             stream_shard_supported,
@@ -190,13 +198,14 @@ def make_sharded_chunk_runner(
 
         kernel = None
         on_tpu_f32 = jax.default_backend() == "tpu" and ode.dtype == "float32"
+        itemsize = 2 if ode.matmul_dtype == "bfloat16" else 4
         if ode.dv_strategy == "fused":
             kernel = make_fused_chunk(fa, zeta, ode, chunk_steps)  # raises if unsupported
         elif ode.dv_strategy == "stream":
             kernel = make_stream_chunk(fa, zeta, ode, chunk_steps)  # raises if unsupported
-        elif on_tpu_f32 and fused_supported(fa):
+        elif on_tpu_f32 and fused_supported(fa, itemsize):
             kernel = make_fused_chunk(fa, zeta, ode, chunk_steps)
-        elif on_tpu_f32 and stream_supported(fa):
+        elif on_tpu_f32 and stream_supported(fa, itemsize):
             kernel = make_stream_chunk(fa, zeta, ode, chunk_steps)
         if kernel is not None:
             sharded_kernel = shard_map(

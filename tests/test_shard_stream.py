@@ -209,3 +209,80 @@ def test_explicit_stream_on_clause_mesh_requires_plan():
         make_sharded_chunk_runner(
             fa, 0.001, ODEConfig(step_size=0.01, dv_strategy="stream"), 4, mesh
         )
+
+
+def test_compile_convention_matches_compile_formula():
+    """compile_stream_sharded re-implements compile_formula's array
+    construction (its occurrence-slot convention MUST match for the scan
+    fallback); pin the convention: at n_shards=1 with matching options
+    the two compiles produce identical arrays."""
+    formula = random_ksat(60, 260, k=3, seed=4)  # uniform width: 1 bucket
+    _, normalized = normalize_cnf_variables(formula)
+    fa_ref = compile_formula(normalized, bucket=False, window_sort=True)
+    fa_sh, _ = compile_stream_sharded(normalized, 1, bucket=False, window_sort=True)
+    np.testing.assert_array_equal(fa_sh.lit_var, fa_ref.lit_var)
+    np.testing.assert_array_equal(fa_sh.sign, fa_ref.sign)
+    np.testing.assert_array_equal(fa_sh.lit_mask, fa_ref.lit_mask)
+    np.testing.assert_array_equal(fa_sh.clause_mask, fa_ref.clause_mask)
+    np.testing.assert_array_equal(fa_sh.xs_init, fa_ref.xs_init)
+    np.testing.assert_array_equal(fa_sh.var_occ, fa_ref.var_occ)
+    np.testing.assert_array_equal(fa_sh.occ_mask, fa_ref.occ_mask)
+    assert fa_sh.bucket_slices == fa_ref.bucket_slices
+    assert fa_sh.n_slots == fa_ref.n_slots
+
+
+@pytest.mark.parametrize(
+    "ode_kwargs",
+    [dict(tolerance=1e-3, dt_mode="shared"), dict(step_size=0.01, dtype="float64")],
+)
+def test_clause_mesh_auto_falls_back_to_scan(ode_kwargs):
+    """Kernel-ineligible configs (shared adaptive dt, f64) on a clause
+    mesh with dv_strategy='auto' must run the scan fallback, not crash
+    on the bucket guard (round-2 review finding)."""
+    from odesat_tpu.parallel.mesh import make_mesh
+    from odesat_tpu.parallel.sharded import (
+        compile_for_mesh,
+        make_sharded_chunk_runner,
+        shard_inputs,
+    )
+
+    formula = random_ksat(24, 96, k=3, seed=2)
+    _, normalized = normalize_cnf_variables(formula)
+    mesh = make_mesh(2, 4)
+    ode = ODEConfig(**ode_kwargs)
+    config = SolverConfig(ode=ode, clause_pad=8)
+    fa = compile_for_mesh(normalized, config, mesh)
+    assert fa.shard_plan is None  # plain layout for the scan path
+    runner = make_sharded_chunk_runner(fa, 0.001, ode, 2, mesh)
+    state = init_state(fa, 8, jax.random.PRNGKey(0), ode)
+    dev = formula_device(fa)
+    state, dev = shard_inputs(state, dev, mesh)
+    out = runner(state, dev)
+    assert np.isfinite(np.asarray(out.v, dtype=np.float64)).all()
+
+
+def test_stoch_mesh_snapshot_rejected_without_mesh(tmp_path):
+    """Resuming a mesh snapshot without a mesh errors clearly instead of
+    failing deep inside jit (round-2 review finding)."""
+    import dataclasses
+
+    from odesat_tpu.models.stoch import search
+    from odesat_tpu.parallel.mesh import make_mesh
+
+    formula = random_ksat(24, 96, k=3, seed=2)
+    _, normalized = normalize_cnf_variables(formula)
+    path = str(tmp_path / "mesh_snap.npz")
+    config = SolverConfig(
+        ode=__import__("odesat_tpu.utils.config", fromlist=["ODEConfig"]).ODEConfig(steps=32),
+        batch_size=8,
+        seed=0,
+        chunk_steps=8,
+        checkpoint_path=path,
+        checkpoint_every_chunks=1,
+    )
+    search(normalized, config, mesh=make_mesh(8, 1))
+    resume = dataclasses.replace(
+        config, resume_from=path, checkpoint_path=None, checkpoint_every_chunks=0
+    )
+    with pytest.raises(ValueError, match="taken on a mesh"):
+        search(normalized, resume)
