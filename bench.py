@@ -53,7 +53,7 @@ def measure_baseline(normalized) -> float:
     return FALLBACK_BASELINE_TRAJ_STEPS_PER_SEC
 
 
-def bench_fixed_step(batch_size: int = 16384, chunk_steps: int = 2000, repeats: int = 3):
+def bench_fixed_step(batch_size: int = 16384, chunk_steps: int = 16384, repeats: int = 3):
     from odesat_tpu.utils.timing import measure_throughput
 
     formula = parse_dimacs_file(os.path.join(HERE, "tests", "data", "hard.cnf"))
@@ -75,6 +75,8 @@ def bench_fixed_step(batch_size: int = 16384, chunk_steps: int = 2000, repeats: 
 def main():
     rate, normalized = bench_fixed_step()
     baseline = measure_baseline(normalized)
+    # chunk 16384 matches what the solve loops escalate to on long runs
+    # (models/ode.py chunk growth), so this is the served steady state
     result = {
         "metric": "trajectories*steps/sec/chip (hard.cnf, fixed dt=0.01, b=16384)",
         "value": round(rate, 1),

@@ -514,20 +514,17 @@ def simulate_batch(
         runner = make_sharded_chunk_runner(fa, zeta, ode, chunk_steps, mesh)
         make_tail = lambda n: make_sharded_chunk_runner(fa, zeta, ode, n, mesh)  # noqa: E731
 
-    # Escalate the chunk size once a run outlives the early-exit window:
-    # each chunk boundary costs a host round trip (measured 2.3x
+    # Escalate the chunk size each time a run outlives its early-exit
+    # window: each chunk boundary costs a host round trip (measured 2.3x
     # throughput loss at chunk=256, B=16384 on the remote TPU), so after
-    # GROW_AFTER chunks without solving, switch to a 16x chunk (~94% of
-    # kernel-rate effective throughput). Short solves keep the fine
-    # early-exit granularity; cadence flags disable growth entirely.
+    # every GROW_AFTER further chunks without solving, grow the chunk
+    # 16x up to the cap — a long run converges to kernel-rate effective
+    # throughput (each escalation stage only triggers after the previous
+    # granularity already cost 8 round trips, so fast solves keep fine
+    # early exit). Cadence flags disable growth entirely.
     GROW_AFTER = 8
-    big_chunk = 0
-    if not wants_chunk_cadence:
-        big_chunk = min(chunk_steps * 16, 32768)
-        if budget_cap := (ode.steps or 0):
-            big_chunk = min(big_chunk, budget_cap)
-        if big_chunk <= chunk_steps:
-            big_chunk = 0
+    GROW_CAP = 32768
+    can_grow = not wants_chunk_cadence
 
     tail_runner = None
     budget = ode.steps  # None => unbounded
@@ -552,12 +549,13 @@ def simulate_batch(
                 state = runner(state, dev)
                 steps_run += chunk_steps
             chunks += 1
-            if big_chunk and chunks == GROW_AFTER:
-                remaining_after = None if budget is None else budget - steps_run
-                if remaining_after is None or remaining_after > big_chunk:
-                    runner = make_tail(big_chunk)
-                    chunk_steps = big_chunk
-                big_chunk = 0
+            if can_grow and chunks % GROW_AFTER == 0 and chunk_steps < GROW_CAP:
+                bigger = min(chunk_steps * 16, GROW_CAP)
+                if budget is not None:
+                    bigger = min(bigger, max(budget - steps_run, 1))
+                if bigger > chunk_steps:
+                    runner = make_tail(bigger)
+                    chunk_steps = bigger
 
             done = np.asarray(state.done)
             # harvest first: the oracle-verified exit (and its progress

@@ -267,21 +267,16 @@ def search(
     tail_runner = None
 
     budget = config.ode.steps
-    # escalate the chunk once a run outlives the early-exit window
-    # (same rationale as models/ode.py: chunk boundaries cost a host
-    # round trip each); cadence flags disable growth so checkpoint/log
-    # intervals stay what the user asked for
+    # escalate the chunk each time a run outlives its early-exit window
+    # (same rationale and pacing as models/ode.py: chunk boundaries cost
+    # a host round trip each); cadence flags disable growth so
+    # checkpoint/log intervals stay what the user asked for
     wants_chunk_cadence = bool(
         config.checkpoint_every_chunks or config.log_every_chunks
     )
     GROW_AFTER = 8
-    big_chunk = 0
-    if not wants_chunk_cadence:
-        big_chunk = min(chunk_steps * 16, 32768)
-        if budget:
-            big_chunk = min(big_chunk, budget)
-        if big_chunk <= chunk_steps:
-            big_chunk = 0
+    GROW_CAP = 32768
+    can_grow = not wants_chunk_cadence
     chunks = 0
     steps_run = steps_resumed
     t0 = time.perf_counter()
@@ -303,12 +298,13 @@ def search(
                 state = runner(state)
                 steps_run += chunk_steps
             chunks += 1
-            if big_chunk and chunks == GROW_AFTER:
-                remaining_after = None if budget is None else budget - steps_run
-                if remaining_after is None or remaining_after > big_chunk:
-                    runner = make_runner(big_chunk)
-                    chunk_steps = big_chunk
-                big_chunk = 0
+            if can_grow and chunks % GROW_AFTER == 0 and chunk_steps < GROW_CAP:
+                bigger = min(chunk_steps * 16, GROW_CAP)
+                if budget is not None:
+                    bigger = min(bigger, max(budget - steps_run, 1))
+                if bigger > chunk_steps:
+                    runner = make_runner(bigger)
+                    chunk_steps = bigger
 
             done = np.asarray(state.done)
             if done.any():
