@@ -74,14 +74,17 @@ def make_fused_stoch_chunk(
     # polarity-baked planes (see _build_stoch_planes): lit_true =
     # v @ G_k + bias_k exactly (positive literal -> +v, negated -> 1-v,
     # padding -> 0); the per-slot sign array corrects the weight scatter
-    # through the same signed planes (q^2 = 1).
-    G_np = np.zeros((K * Np, Mp), dtype=np.float32)
-    bias_np = np.zeros((K, Mp), dtype=np.float32)
+    # through the same signed planes (q^2 = 1). The K planes sit side by
+    # side as one (Np, K*Mp) block so each step runs ONE forward matmul
+    # and TWO weight-scatter matmuls instead of 3K small MXU ops (same
+    # rewrite as ops/fused_pallas.py).
+    G_np = np.zeros((Np, K * Mp), dtype=np.float32)
+    bias_np = np.zeros((1, K * Mp), dtype=np.float32)
     for k in range(K):
         cols = np.arange(Mp)
         on = fa.lit_mask[k] > 0
-        G_np[k * Np + fa.lit_var[k][on], cols[on]] = fa.sign[k][on]
-        bias_np[k, cols] = np.where(on & (fa.sign[k] < 0), 1.0, 0.0)
+        G_np[fa.lit_var[k][on], k * Mp + cols[on]] = fa.sign[k][on]
+        bias_np[0, k * Mp + cols] = np.where(on & (fa.sign[k] < 0), 1.0, 0.0)
     G_host = jnp.asarray(G_np).astype(mm_dtype)
     bias_host = jnp.asarray(bias_np)
     sign_host = jnp.asarray(fa.sign.astype(np.float32))  # 0 at padding slots
@@ -107,7 +110,7 @@ def make_fused_stoch_chunk(
 
         cmask = cmask_ref[:]  # (1, Mp)
         has_occ = hasocc_ref[:] > 0  # (1, Np)
-        biases = [bias_ref[k : k + 1, :] for k in range(K)]
+        bias = bias_ref[:]  # (1, K*Mp)
         signs = [sign_ref[k : k + 1, :] for k in range(K)]
 
         def uniform01(step, shape):
@@ -133,17 +136,21 @@ def make_fused_stoch_chunk(
         def body(t, carry):
             v, xl, done = carry  # v: (Bb, Np) 0/1 float; xl: (Bb, Mp); done: (Bb, 1)
             # clause satisfaction: literal true iff gathered value matches
-            # polarity (reference: src/stoch.rs:20-25)
-            sat = jnp.zeros(xl.shape, dtype=jnp.float32)
+            # polarity (reference: src/stoch.rs:20-25); one forward pass
+            # over the concatenated planes
             v16 = v.astype(mm_dtype)
-            for k in range(K):
-                lit_true = jnp.dot(
+            lit_true_all = (
+                jnp.dot(
                     v16,
-                    g_ref[k * Np : (k + 1) * Np, :],
+                    g_ref[:],
                     preferred_element_type=jnp.float32,
                     precision=mm_precision,
-                ) + biases[k]
-                sat = jnp.maximum(sat, lit_true)
+                )
+                + bias
+            )
+            sat = lit_true_all[:, 0:Mp]
+            for k in range(1, K):
+                sat = jnp.maximum(sat, lit_true_all[:, k * Mp : (k + 1) * Mp])
 
             # weight update (post-update weights feed the flips,
             # src/stoch.rs:47-51)
@@ -153,24 +160,27 @@ def make_fused_stoch_chunk(
                 jnp.minimum(xl + float(STOCH_ALPHA), XL_CAP),
             ) * cmask
 
-            # per-variable totals via MXU: total_i = sum_{clauses with i} xl
-            total = jnp.zeros((v.shape[0], Np), dtype=jnp.float32)
-            unsat_w = jnp.zeros((v.shape[0], Np), dtype=jnp.float32)
+            # per-variable totals via MXU: total_i = sum_{clauses with i} xl;
+            # one transposed pass each for total and unsat weights
             unsat_f = 1.0 - sat
-            for k in range(K):
-                wk = xl_new * signs[k]  # sign-corrected; 0 at padding
-                total = total + jax.lax.dot_general(
-                    wk.astype(mm_dtype), g_ref[k * Np : (k + 1) * Np, :],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=mm_precision,
-                )
-                unsat_w = unsat_w + jax.lax.dot_general(
-                    (wk * unsat_f).astype(mm_dtype), g_ref[k * Np : (k + 1) * Np, :],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=mm_precision,
-                )
+            xu = xl_new * unsat_f  # sign mults are exact (+-1/0), so
+            # (xl*unsat)*sign == (xl*sign)*unsat bit-for-bit
+            w_all = jnp.concatenate(
+                [xl_new * signs[k] for k in range(K)], axis=1
+            )  # sign-corrected; 0 at padding
+            u_all = jnp.concatenate([xu * signs[k] for k in range(K)], axis=1)
+            total = jax.lax.dot_general(
+                w_all.astype(mm_dtype), g_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mm_precision,
+            )
+            unsat_w = jax.lax.dot_general(
+                u_all.astype(mm_dtype), g_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mm_precision,
+            )
 
             u = uniform01(t, total.shape)
             flip = (u * total < unsat_w) & has_occ
@@ -225,8 +235,8 @@ def make_fused_stoch_chunk(
                 blk((Bb, Np)),
                 blk((Bb, Mp)),
                 blk((Bb, 1)),
-                const((K * Np, Mp)),
-                const((K, Mp)),
+                const((Np, K * Mp)),
+                const((1, K * Mp)),
                 const((K, Mp)),
                 const((1, Mp)),
                 const((1, Np)),
