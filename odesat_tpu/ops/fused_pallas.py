@@ -99,6 +99,18 @@ def make_fused_chunk(
 
     K, Mp = fa.lit_var.shape
     Np = fa.n_vars_padded
+    # shrink the trajectory block until the per-block working set fits
+    # the scoped-VMEM limit. Mosaic stack-allocates the in/out/pipeline
+    # state copies plus every live (Bb, Mp)/(Bb, K*Mp) intermediate of
+    # the step body (vals, contribs, m1/m2/A1/A2/a/b, update temps);
+    # calibrated against a measured case — Np=256, Mp=1152, K=3 at
+    # traj_block=1024 allocates 96.1MB ~= Bb*4*(2*Np + 7*K*Mp). A
+    # high-density formula can fit the G envelope yet blow this budget.
+    while traj_block > 64:
+        block_bytes = traj_block * 4 * (2 * Np + 7 * K * Mp)
+        if block_bytes <= 56 * 1024 * 1024:
+            break
+        traj_block //= 2
     paper = ode.rigidity == "paper"
     fixed = ode.step_size is not None
     dt_fixed = float(ode.step_size) if fixed else 0.0

@@ -24,16 +24,26 @@ HERE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
 
 def main():
-    # args: traj_block[:interleave] ...
+    # args: [--uf N] traj_block[:interleave] ...
+    argv = sys.argv[1:]
+    uf = None
+    if argv and argv[0] == "--uf":
+        uf = int(argv[1])
+        argv = argv[2:]
     specs = []
-    for a in sys.argv[1:]:
+    for a in argv:
         if ":" in a:
             tb, il = a.split(":")
             specs.append((int(tb), int(il)))
         else:
             specs.append((int(a), 1))
     specs = specs or [(256, 1), (512, 1), (1024, 1), (2048, 1)]
-    formula = parse_dimacs_file(os.path.join(HERE, "tests", "data", "hard.cnf"))
+    if uf:
+        from odesat_tpu.utils.generate import uf_instance
+
+        formula = uf_instance(uf, seed=0)
+    else:
+        formula = parse_dimacs_file(os.path.join(HERE, "tests", "data", "hard.cnf"))
     _, normalized = normalize_cnf_variables(formula)
     fa = compile_formula(normalized)
     ode = ODEConfig(step_size=0.01, matmul_dtype="bfloat16")
