@@ -49,6 +49,21 @@ if len(jax.devices()) > 1:
     result = ot.simulate_batch(normalized, config, mesh=mesh)
     print("sharded solve:", result.any_solved)
 
+    # the stochastic engine shards the same way (per-device PRNG streams)
+    s = ot.search(normalized, ot.SolverConfig(
+        ode=ot.ODEConfig(steps=50_000), batch_size=len(jax.devices()) * 64,
+        seed=2), mesh=mesh)
+    print("sharded stoch:", s.solved_index is not None)
+
+    # huge CNFs: put devices on the clause axis instead — compile_for_mesh
+    # lays the clause arrays out as identically-shaped shard segments and
+    # the step runs the clause-sharded streaming kernel with dv psum'd
+    # over ICI (ops/shard_stream.py)
+    if len(jax.devices()) % 2 == 0:
+        mesh2 = make_mesh(len(jax.devices()) // 2, 2)
+        result = ot.simulate_batch(normalized, config, mesh=mesh2)
+        print("clause-sharded solve:", result.any_solved)
+
 # 6. serving: same-shape instances reuse the compiled kernel (plus an
 # on-disk compilation cache across processes)
 from odesat_tpu.utils.cache import enable_compilation_cache
