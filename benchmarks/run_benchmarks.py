@@ -239,10 +239,9 @@ def main():
     # streaming RHS (S=1 on this chip; the kernel is the one a clause
     # mesh runs per shard, so this rate is the per-shard building block
     # of multi-chip scaling) --------------------------------------------
-    from odesat_tpu.models.ode import make_step_fn
     from odesat_tpu.ops.shard_stream import (
         compile_stream_sharded,
-        make_stream_shard_rhs,
+        make_single_device_runner,
         stream_shard_supported,
     )
     from odesat_tpu.utils.timing import measure_throughput as _mt
@@ -252,25 +251,9 @@ def main():
     ode7 = ODEConfig(step_size=0.01, matmul_dtype="bfloat16")
     fa7, plan7 = compile_stream_sharded(normalized, 1)
     assert stream_shard_supported(fa7, plan7, 2)
-    rhs7 = make_stream_shard_rhs(plan7, 0.001, ode7)
     dev7 = formula_device(fa7, matmul_dtype="bfloat16")
-
-    def derivs7(v, xs, xl, d):
-        return rhs7(
-            v, xs, xl, d.planes[0], d.span_lo[0], d.span_bias[0], d.clause_mask
-        )
-
-    step7 = make_step_fn(fa7, 0.001, ode7, derivs_fn=derivs7)
     chunk7 = 50 if q else 100
-
-    def chunk_run7(state, d):
-        def body(carry, _):
-            return step7(carry, d), None
-
-        out, _ = jax.lax.scan(body, state, None, length=chunk7)
-        return out
-
-    runner7 = jax.jit(chunk_run7, donate_argnums=0)
+    runner7 = make_single_device_runner(fa7, 0.001, ode7, chunk7)
     b7 = 256 if q else 1024
     st7 = init_state(fa7, b7, jax.random.PRNGKey(0), ode7)
     rate7, _ = _mt(runner7, st7, dev7, chunk7, b7, iters=3)

@@ -189,16 +189,21 @@ def _config_from_args(args, batch_size: int = 1) -> SolverConfig:
     )
 
 
+def _or_exit(fn, *args, **kwargs):
+    """Run ``fn``; surface a library ValueError as a clean CLI error."""
+    try:
+        return fn(*args, **kwargs)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        raise SystemExit(2) from None
+
+
 def _mesh_from_args(args):
     if args.devices * args.clause_shards <= 1:
         return None
     from odesat_tpu.parallel.mesh import make_mesh
 
-    try:
-        return make_mesh(args.devices, args.clause_shards)
-    except ValueError as e:
-        print(f"error: {e}", file=sys.stderr)
-        raise SystemExit(2) from None
+    return _or_exit(make_mesh, args.devices, args.clause_shards)
 
 
 def _finish(mapped_values: dict, formula, output) -> None:
@@ -286,11 +291,7 @@ def cmd_stoch(args) -> int:
     print("Simulating...")
     from odesat_tpu.models.stoch import search
 
-    try:
-        result = search(normalized, config, mesh=_mesh_from_args(args))
-    except ValueError as e:
-        print(f"error: {e}", file=sys.stderr)
-        raise SystemExit(2) from None
+    result = _or_exit(search, normalized, config, mesh=_mesh_from_args(args))
 
     print("Mapping values...")
     mapped_values = map_values_by_indices(var_mapping, result.best_assignment())
@@ -399,11 +400,7 @@ def cmd_hybrid(args) -> int:
     from odesat_tpu.models.hybrid import hybrid_search
 
     print("Racing ODE and stochastic engines...")
-    try:
-        result = hybrid_search(normalized, config, mesh=_mesh_from_args(args))
-    except ValueError as e:
-        print(f"error: {e}", file=sys.stderr)
-        raise SystemExit(2) from None
+    result = _or_exit(hybrid_search, normalized, config, mesh=_mesh_from_args(args))
     print(f"Winner: {result.engine} after {result.steps} steps per engine "
           f"({result.wall_time_s:.2f}s)")
     mapped_values = map_values_by_indices(var_mapping, result.assignment)
@@ -417,21 +414,18 @@ def cmd_gen(args) -> int:
     from odesat_tpu.utils.generate import random_ksat, random_local_ksat
 
     m = args.n_clauses if args.n_clauses is not None else int(round(4.26 * args.n_vars))
-    try:
-        if args.locality is not None:
-            formula = random_local_ksat(
-                args.n_vars, m, k=args.clause_width, locality=args.locality,
-                seed=args.seed, planted=True,
-            )
-        else:
-            formula = random_ksat(
-                args.n_vars, m, k=args.clause_width, seed=args.seed, planted=args.planted
-            )
-    except ValueError as e:
-        # e.g. locality narrower than the clause width — one source of
-        # truth for the constraint lives in the generator
-        print(f"error: {e}", file=sys.stderr)
-        raise SystemExit(2) from None
+    # a narrow --locality surfaces as the generator's ValueError — one
+    # source of truth for the constraint
+    if args.locality is not None:
+        formula = _or_exit(
+            random_local_ksat, args.n_vars, m, k=args.clause_width,
+            locality=args.locality, seed=args.seed, planted=True,
+        )
+    else:
+        formula = _or_exit(
+            random_ksat, args.n_vars, m, k=args.clause_width, seed=args.seed,
+            planted=args.planted,
+        )
     with open(args.output, "w", encoding="utf-8") as fh:
         fh.write(cnf_to_dimacs(formula))
     print(f"wrote {args.output}: {formula.varnum} vars, {formula.num_clauses} clauses")

@@ -207,7 +207,10 @@ def search(
         key = jax.random.PRNGKey(seed)
 
     if mesh is not None:
-        from odesat_tpu.parallel.sharded import make_sharded_stoch_runner
+        from odesat_tpu.parallel.sharded import (
+            make_sharded_stoch_runner,
+            shard_stoch_inputs,
+        )
 
         n_traj = mesh.shape.get("traj", 1)
         if mesh.shape.get("clause", 1) > 1:
@@ -259,9 +262,7 @@ def search(
                 jax.random.split(key, mesh.shape["traj"]),
             )
     if mesh is not None:
-        from odesat_tpu.parallel.sharded import shard_stoch_inputs as _ssi
-
-        state = _ssi(state, mesh)
+        state = shard_stoch_inputs(state, mesh)
     chunk_steps = config.chunk_steps
     runner = make_runner(chunk_steps)
     tail_runner = None

@@ -59,9 +59,7 @@ SPAN = 128
 _G_HBM_LIMIT = 2 * 1024 * 1024 * 1024  # per-shard plane HBM budget
 _VMEM_BUDGET = 64 * 1024 * 1024
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m if x else m
+from odesat_tpu.cnf.arrays import _round_up  # noqa: E402 — same rounding everywhere
 
 
 @dataclass(frozen=True)
@@ -307,6 +305,35 @@ def _pick_traj_block(
             break
         bb //= 2
     return max(bb, 8)
+
+
+def make_single_device_runner(fa, zeta: float, ode, chunk_steps: int):
+    """Jitted ``(state, dev) -> state`` driving the shard-stream RHS at
+    S=1 on one device — the per-shard building block of the clause-mesh
+    path, runnable (and benchmarkable) without a mesh. ``fa`` must come
+    from :func:`compile_stream_sharded` with ``n_shards=1``."""
+    plan = fa.shard_plan
+    if plan is None or plan.n_shards != 1:
+        raise ValueError("needs a compile_stream_sharded(n_shards=1) formula")
+    from odesat_tpu.models.ode import make_step_fn
+
+    rhs = make_stream_shard_rhs(plan, zeta, ode)
+
+    def derivs_fn(v, xs, xl, dev):
+        return rhs(
+            v, xs, xl, dev.planes[0], dev.span_lo[0], dev.span_bias[0], dev.clause_mask
+        )
+
+    step = make_step_fn(fa, zeta, ode, derivs_fn=derivs_fn)
+
+    def run_chunk(state, dev):
+        def body(carry, _):
+            return step(carry, dev), None
+
+        out, _ = jax.lax.scan(body, state, None, length=chunk_steps)
+        return out
+
+    return jax.jit(run_chunk, donate_argnums=0)
 
 
 def make_stream_shard_rhs(

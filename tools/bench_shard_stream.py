@@ -26,8 +26,11 @@ from odesat_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 from odesat_tpu.cnf import normalize_cnf_variables
-from odesat_tpu.models.ode import formula_device, init_state, make_step_fn
-from odesat_tpu.ops.shard_stream import compile_stream_sharded, make_stream_shard_rhs
+from odesat_tpu.models.ode import formula_device, init_state
+from odesat_tpu.ops.shard_stream import (
+    compile_stream_sharded,
+    make_single_device_runner,
+)
 from odesat_tpu.ops.stream_pallas import make_stream_chunk, stream_supported
 from odesat_tpu.preprocess import preprocess_formula
 from odesat_tpu.utils.config import ODEConfig
@@ -50,22 +53,8 @@ def main():
 
     # clause-sharded path at n_shards=1: per-RHS kernel + XLA step scan
     fa, plan = compile_stream_sharded(normalized, 1)
-    rhs = make_stream_shard_rhs(plan, 0.001, ode)
     dev = formula_device(fa, matmul_dtype=ode.matmul_dtype)
-
-    def derivs_fn(v, xs, xl, d):
-        return rhs(v, xs, xl, d.planes[0], d.span_lo[0], d.span_bias[0], d.clause_mask)
-
-    step = make_step_fn(fa, 0.001, ode, derivs_fn=derivs_fn)
-
-    def run_chunk(state, d):
-        def body(carry, _):
-            return step(carry, d), None
-
-        out, _ = jax.lax.scan(body, state, None, length=chunk)
-        return out
-
-    runner = jax.jit(run_chunk, donate_argnums=0)
+    runner = make_single_device_runner(fa, 0.001, ode, chunk)
     state = init_state(fa, B, jax.random.PRNGKey(0), ode)
     rate_shard, _ = measure_throughput(runner, state, dev, chunk, B, iters=3)
     print(f"shard-stream RHS (S=1): {rate_shard:.3e} traj*steps/s")
