@@ -351,6 +351,13 @@ def make_stream_shard_rhs(
     the local shard segment; planes/lo/bias: this shard's slices of the
     plan arrays (leading shard axis already squeezed by shard_map).
     """
+    if getattr(ode, "dtype", "float32") == "float64":
+        # f32 state + f32/bf16 MXU passes throughout; reject instead of
+        # silently downcasting (same policy as the other Pallas kernels)
+        raise ValueError(
+            "dtype='float64' is not supported by the clause-shard streaming "
+            "RHS; use the scan path (dv_strategy='segment_sum') for f64"
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     paper = ode.rigidity == "paper"

@@ -24,12 +24,16 @@ HERE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
 
 def main():
-    # args: [--uf N] traj_block[:interleave] ...
+    # args: [--uf N] [--adaptive] traj_block[:interleave] ...
     argv = sys.argv[1:]
     uf = None
+    adaptive = False
     if argv and argv[0] == "--uf":
         uf = int(argv[1])
         argv = argv[2:]
+    if argv and argv[0] == "--adaptive":
+        adaptive = True
+        argv = argv[1:]
     specs = []
     for a in argv:
         if ":" in a:
@@ -46,7 +50,11 @@ def main():
         formula = parse_dimacs_file(os.path.join(HERE, "tests", "data", "hard.cnf"))
     _, normalized = normalize_cnf_variables(formula)
     fa = compile_formula(normalized)
-    ode = ODEConfig(step_size=0.01, matmul_dtype="bfloat16")
+    ode = (
+        ODEConfig(tolerance=1e-3, matmul_dtype="bfloat16")
+        if adaptive
+        else ODEConfig(step_size=0.01, matmul_dtype="bfloat16")
+    )
     zeta = ode.resolve_zeta(fa.density)
     dev = formula_device(fa)
     B, chunk = 16384, 2000
