@@ -162,8 +162,11 @@ def _build_parser() -> argparse.ArgumentParser:
 
 
 def _config_from_args(args, batch_size: int = 1) -> SolverConfig:
+    tol = getattr(args, "tolerance", None)
+    ratio = getattr(args, "ctv_ratio", None)
     ode = ODEConfig(
-        tolerance=getattr(args, "tolerance", None) or 1e-3,
+        # `is not None`, not truthiness: an explicit 0 must stick
+        tolerance=tol if tol is not None else 1e-3,
         step_size=getattr(args, "step_size", None),
         steps=getattr(args, "step_number", None),
         zeta=getattr(args, "learning_rate", None),
@@ -175,7 +178,7 @@ def _config_from_args(args, batch_size: int = 1) -> SolverConfig:
     )
     return SolverConfig(
         ode=ode,
-        ctv_ratio=getattr(args, "ctv_ratio", None) or 7.0,
+        ctv_ratio=ratio if ratio is not None else 7.0,
         preprocess=not getattr(args, "no_preprocess", False),
         batch_size=batch_size,
         seed=args.seed,
@@ -314,14 +317,25 @@ def cmd_batch(args) -> int:
     from odesat_tpu.cnf.arrays import compile_formula
     from odesat_tpu.models.ode import simulate_batch
 
-    fa = compile_formula(normalized, clause_pad=config.clause_pad, var_pad=config.var_pad)
+    mesh = _mesh_from_args(args)
+    if mesh is not None:
+        # mesh-aware compile: clause-axis padding and (for clause shards)
+        # the streaming-kernel shard plan — pre-compiling with the plain
+        # layout would silently strand the run on the scan fallback
+        from odesat_tpu.parallel.sharded import compile_for_mesh
+
+        fa = compile_for_mesh(normalized, config, mesh)
+    else:
+        fa = compile_formula(
+            normalized, clause_pad=config.clause_pad, var_pad=config.var_pad
+        )
     verified_holder = {}
     progress = {"chunks": 0}
 
-    def harvest(state) -> bool:
+    def harvest(state, done) -> bool:
         # oracle-verified early exit: the reference gates batch termination
-        # on the verifier, not the allsat flag (src/main.rs:302-307)
-        done = np.asarray(state.done)
+        # on the verifier, not the allsat flag (src/main.rs:302-307);
+        # ``done`` arrives already host-pulled by the solve loop
         # \r-style progress like the reference's per-trial line
         # (src/main.rs:279); trials run in parallel here, so the line
         # reports converged trajectories instead of a serial trial index
@@ -340,7 +354,7 @@ def cmd_batch(args) -> int:
         return False
 
     result = simulate_batch(
-        fa, config, stop_on="all", harvest=harvest, mesh=_mesh_from_args(args)
+        fa, config, stop_on="all", harvest=harvest, mesh=mesh
     )
     if progress["chunks"]:
         print()  # terminate the \r progress line

@@ -1,0 +1,108 @@
+"""Shared chunked-dispatch driver for both engines.
+
+The ODE loop (models/ode.py simulate_batch) and the stochastic loop
+(models/stoch.py search) dispatch fixed-size scan chunks and check exit
+conditions on the host between chunks; everything around that — step
+budget and tail chunks, multiplicative chunk escalation, wall-clock
+budget, log/checkpoint cadence, profiler bracketing — is identical and
+lives here once. The engines differ only in how a runner is built for a
+chunk length and in their stop predicate.
+
+Escalation: each chunk boundary costs a host round trip (measured 2.3x
+throughput loss at chunk=256, B=16384 on the remote TPU), so after
+every GROW_AFTER further chunks without stopping, the chunk grows 16x
+up to GROW_CAP — long runs converge to kernel-rate effective
+throughput while fast solves keep the fine early-exit window. Cadence
+flags disable growth so checkpoint/log intervals stay what the user
+asked for.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+GROW_AFTER = 8
+GROW_CAP = 32768
+
+
+def drive_chunks(
+    state,
+    make_runner,
+    config,
+    budget,
+    should_stop,
+    steps_resumed: int = 0,
+    chunk_steps: int | None = None,
+):
+    """Run ``state = runner(state)`` chunks until ``should_stop(state,
+    done)`` (done arrives host-pulled), the step budget, or the
+    wall-clock budget. ``make_runner(n) -> (state -> state)`` builds a
+    runner advancing every trajectory n steps. Returns
+    ``(state, steps_run, wall_time_s)``.
+    """
+    import jax
+
+    chunk_steps = chunk_steps if chunk_steps is not None else config.chunk_steps
+    wants_chunk_cadence = bool(
+        config.checkpoint_every_chunks or config.log_every_chunks
+    )
+    can_grow = not wants_chunk_cadence
+
+    runner = make_runner(chunk_steps)
+    tail_runner = None
+    steps_run = steps_resumed
+    chunks = 0
+    t0 = time.perf_counter()
+    profiling = False
+    if config.profile_dir:
+        jax.profiler.start_trace(config.profile_dir)
+        profiling = True
+    try:
+        while True:
+            remaining = None if budget is None else budget - steps_run
+            if remaining is not None and remaining <= 0:
+                break
+            if remaining is not None and remaining < chunk_steps:
+                if tail_runner is None:
+                    tail_runner = make_runner(remaining)
+                state = tail_runner(state)
+                steps_run += remaining
+            else:
+                state = runner(state)
+                steps_run += chunk_steps
+            chunks += 1
+            if can_grow and chunks % GROW_AFTER == 0 and chunk_steps < GROW_CAP:
+                bigger = min(chunk_steps * 16, GROW_CAP)
+                if budget is not None:
+                    bigger = min(bigger, max(budget - steps_run, 1))
+                if bigger > chunk_steps:
+                    runner = make_runner(bigger)
+                    chunk_steps = bigger
+
+            done = np.asarray(state.done)
+            if should_stop(state, done):
+                break
+            if (
+                config.wall_clock_budget_s is not None
+                and time.perf_counter() - t0 > config.wall_clock_budget_s
+            ):
+                break
+            if config.log_every_chunks and chunks % config.log_every_chunks == 0:
+                from odesat_tpu.utils.logging import log_chunk
+
+                log_chunk(state, steps_run)
+            if (
+                config.checkpoint_every_chunks
+                and config.checkpoint_path
+                and chunks % config.checkpoint_every_chunks == 0
+            ):
+                from odesat_tpu.utils.checkpoint import save_state
+
+                save_state(config.checkpoint_path, state, steps_run)
+    finally:
+        if profiling:
+            jax.profiler.stop_trace()
+
+    return state, steps_run, time.perf_counter() - t0

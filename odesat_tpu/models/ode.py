@@ -444,8 +444,10 @@ def simulate_batch(
     ``stop_on``: "any" stops as soon as one trajectory reaches allsat
     (reference inter semantics, src/system.rs:291); "all" runs until every
     trajectory is done or the budget is exhausted (parallel-restart /
-    batch semantics). ``harvest(state) -> bool`` is called between chunks;
-    returning True stops the run (used for oracle-verified early exit).
+    batch semantics). ``harvest(state, done) -> bool`` is called between
+    chunks with the already-host-pulled done flags (avoids a second
+    device round trip); returning True stops the run (used for
+    oracle-verified early exit).
     ``mesh``: a ('traj', 'clause') jax Mesh to shard over; None runs on
     one device.
     """
@@ -505,88 +507,39 @@ def simulate_batch(
             chunk_steps = min(chunk_steps, ode.steps)
 
     if mesh is None:
-        runner = make_chunk_runner(fa, zeta, ode, chunk_steps)
-        make_tail = lambda n: make_chunk_runner(fa, zeta, ode, n)  # noqa: E731
+        def make_runner(n):
+            r = make_chunk_runner(fa, zeta, ode, n)
+            return lambda st: r(st, dev)
     else:
         from odesat_tpu.parallel.sharded import make_sharded_chunk_runner, shard_inputs
 
         state, dev = shard_inputs(state, dev, mesh)
-        runner = make_sharded_chunk_runner(fa, zeta, ode, chunk_steps, mesh)
-        make_tail = lambda n: make_sharded_chunk_runner(fa, zeta, ode, n, mesh)  # noqa: E731
 
-    # Escalate the chunk size each time a run outlives its early-exit
-    # window: each chunk boundary costs a host round trip (measured 2.3x
-    # throughput loss at chunk=256, B=16384 on the remote TPU), so after
-    # every GROW_AFTER further chunks without solving, grow the chunk
-    # 16x up to the cap — a long run converges to kernel-rate effective
-    # throughput (each escalation stage only triggers after the previous
-    # granularity already cost 8 round trips, so fast solves keep fine
-    # early exit). Cadence flags disable growth entirely.
-    GROW_AFTER = 8
-    GROW_CAP = 32768
-    can_grow = not wants_chunk_cadence
+        def make_runner(n):
+            r = make_sharded_chunk_runner(fa, zeta, ode, n, mesh)
+            return lambda st: r(st, dev)
 
-    tail_runner = None
-    budget = ode.steps  # None => unbounded
-    steps_run = steps_resumed
-    t0 = time.perf_counter()
-    chunks = 0
-    profiling = False
-    if config.profile_dir:
-        jax.profiler.start_trace(config.profile_dir)
-        profiling = True
-    try:
-        while True:
-            remaining = None if budget is None else budget - steps_run
-            if remaining is not None and remaining <= 0:
-                break
-            if remaining is not None and remaining < chunk_steps:
-                if tail_runner is None:
-                    tail_runner = make_tail(remaining)
-                state = tail_runner(state, dev)
-                steps_run += remaining
-            else:
-                state = runner(state, dev)
-                steps_run += chunk_steps
-            chunks += 1
-            if can_grow and chunks % GROW_AFTER == 0 and chunk_steps < GROW_CAP:
-                bigger = min(chunk_steps * 16, GROW_CAP)
-                if budget is not None:
-                    bigger = min(bigger, max(budget - steps_run, 1))
-                if bigger > chunk_steps:
-                    runner = make_tail(bigger)
-                    chunk_steps = bigger
+    def should_stop(st, done):
+        # harvest first: the oracle-verified exit (and its progress
+        # line) must run even on the chunk where every trajectory
+        # converges
+        if harvest is not None and harvest(st, done):
+            return True
+        if stop_on == "any" and done.any():
+            return True
+        return bool(done.all())
 
-            done = np.asarray(state.done)
-            # harvest first: the oracle-verified exit (and its progress
-            # line) must run even on the chunk where every trajectory
-            # converges
-            if harvest is not None and harvest(state):
-                break
-            if stop_on == "any" and done.any():
-                break
-            if done.all():
-                break
-            if (
-                config.wall_clock_budget_s is not None
-                and time.perf_counter() - t0 > config.wall_clock_budget_s
-            ):
-                break
-            if config.log_every_chunks and chunks % config.log_every_chunks == 0:
-                from odesat_tpu.utils.logging import log_chunk
+    from odesat_tpu.models.loop import drive_chunks
 
-                log_chunk(state, steps_run)
-            if (
-                config.checkpoint_every_chunks
-                and config.checkpoint_path
-                and chunks % config.checkpoint_every_chunks == 0
-            ):
-                from odesat_tpu.utils.checkpoint import save_state
-
-                save_state(config.checkpoint_path, state, steps_run)
-    finally:
-        if profiling:
-            jax.profiler.stop_trace()
+    state, steps_run, wall_time = drive_chunks(
+        state,
+        make_runner,
+        config,
+        budget=ode.steps,  # None => unbounded
+        should_stop=should_stop,
+        steps_resumed=steps_resumed,
+        chunk_steps=chunk_steps,
+    )
 
     done = np.asarray(state.done)
     solved = np.flatnonzero(done)
@@ -595,7 +548,7 @@ def simulate_batch(
         done=done,
         steps=steps_run,
         solved_index=int(solved[0]) if solved.size else None,
-        wall_time_s=time.perf_counter() - t0,
+        wall_time_s=wall_time,
     )
 
 

@@ -242,10 +242,14 @@ def search(
 
         loaded, steps_resumed = load_state(config.resume_from, StochState)
         state = jax.tree.map(jnp.asarray, loaded)
-        if mesh is not None and state.key.ndim != 2:
+        if mesh is not None and (
+            state.key.ndim != 2 or state.key.shape[0] != mesh.shape["traj"]
+        ):
             raise ValueError(
-                "cannot resume a single-device stoch snapshot on a mesh "
-                "(per-device key layout differs); resume without --devices"
+                "cannot resume this stoch snapshot on a "
+                f"{mesh.shape.get('traj', 1)}-device mesh: the snapshot holds "
+                f"{state.key.shape[0] if state.key.ndim == 2 else 1} per-device "
+                "PRNG key(s); resume with the same --devices count"
             )
         if mesh is None and state.key.ndim == 2:
             raise ValueError(
@@ -263,73 +267,17 @@ def search(
             )
     if mesh is not None:
         state = shard_stoch_inputs(state, mesh)
-    chunk_steps = config.chunk_steps
-    runner = make_runner(chunk_steps)
-    tail_runner = None
 
-    budget = config.ode.steps
-    # escalate the chunk each time a run outlives its early-exit window
-    # (same rationale and pacing as models/ode.py: chunk boundaries cost
-    # a host round trip each); cadence flags disable growth so
-    # checkpoint/log intervals stay what the user asked for
-    wants_chunk_cadence = bool(
-        config.checkpoint_every_chunks or config.log_every_chunks
+    from odesat_tpu.models.loop import drive_chunks
+
+    state, steps_run, wall_time = drive_chunks(
+        state,
+        make_runner,
+        config,
+        budget=config.ode.steps,
+        should_stop=lambda st, done: bool(done.any()),
+        steps_resumed=steps_resumed,
     )
-    GROW_AFTER = 8
-    GROW_CAP = 32768
-    can_grow = not wants_chunk_cadence
-    chunks = 0
-    steps_run = steps_resumed
-    t0 = time.perf_counter()
-    profiling = False
-    if config.profile_dir:
-        jax.profiler.start_trace(config.profile_dir)
-        profiling = True
-    try:
-        while True:
-            remaining = None if budget is None else budget - steps_run
-            if remaining is not None and remaining <= 0:
-                break
-            if remaining is not None and remaining < chunk_steps:
-                if tail_runner is None:
-                    tail_runner = make_runner(remaining)
-                state = tail_runner(state)
-                steps_run += remaining
-            else:
-                state = runner(state)
-                steps_run += chunk_steps
-            chunks += 1
-            if can_grow and chunks % GROW_AFTER == 0 and chunk_steps < GROW_CAP:
-                bigger = min(chunk_steps * 16, GROW_CAP)
-                if budget is not None:
-                    bigger = min(bigger, max(budget - steps_run, 1))
-                if bigger > chunk_steps:
-                    runner = make_runner(bigger)
-                    chunk_steps = bigger
-
-            done = np.asarray(state.done)
-            if done.any():
-                break
-            if (
-                config.wall_clock_budget_s is not None
-                and time.perf_counter() - t0 > config.wall_clock_budget_s
-            ):
-                break
-            if config.log_every_chunks and chunks % config.log_every_chunks == 0:
-                from odesat_tpu.utils.logging import log_chunk
-
-                log_chunk(state, steps_run)
-            if (
-                config.checkpoint_every_chunks
-                and config.checkpoint_path
-                and chunks % config.checkpoint_every_chunks == 0
-            ):
-                from odesat_tpu.utils.checkpoint import save_state
-
-                save_state(config.checkpoint_path, state, steps_run)
-    finally:
-        if profiling:
-            jax.profiler.stop_trace()
 
     done = np.asarray(state.done)
     solved = np.flatnonzero(done)
@@ -338,5 +286,5 @@ def search(
         done=done,
         steps=steps_run,
         solved_index=int(solved[0]) if solved.size else None,
-        wall_time_s=time.perf_counter() - t0,
+        wall_time_s=wall_time,
     )

@@ -282,26 +282,32 @@ def stream_shard_supported(fa, plan: StreamShardPlan, itemsize: int = 4) -> bool
     )
 
 
+def _block_footprint(
+    bb: int, Np: int, Mp_local: int, group_rows: int, itemsize: int, Kmax: int
+) -> int:
+    """VMEM working set of one trajectory block. xs/xl/dxs/dxl are
+    span-streamed through a small staging buffer (not whole VMEM
+    blocks), so the footprint is v-dominated."""
+    return (
+        bb * Np * (3 * 4 + 2 * itemsize)  # v in + dv out + dv acc + v16 (+ pipeline copy)
+        + 2 * 4 * bb * SPAN * 4  # xs/xl/dxs/dxl span staging (2 slots)
+        + Kmax * bb * SPAN * 4  # per-slot clause-value scratch (vals_ref)
+        + 2 * group_rows * SPAN * itemsize  # plane staging
+        + (Kmax + 1) * Mp_local * 4  # bias + cmask const blocks
+    )
+
+
 def _pick_traj_block(
     batch: int, Np: int, Mp_local: int, group_rows: int, itemsize: int, Kmax: int = 3
 ) -> int:
     """Largest power-of-two block dividing the batch whose VMEM footprint
-    fits. xs/xl/dxs/dxl are span-streamed through a small staging buffer
-    (not whole VMEM blocks), so the footprint is v-dominated: at
-    Np=10240 this allows 256-row blocks where whole-block staging forced
-    32 (8x more MXU rows per pass)."""
+    fits (at Np=10240 streamed staging allows 256-row blocks where
+    whole-block staging forced 32 — 8x more MXU rows per pass)."""
     bb = 512
     while bb > 8 and batch % bb:
         bb //= 2
     while bb > 8:
-        footprint = (
-            bb * Np * (3 * 4 + 2 * itemsize)  # v in + dv out + dv acc + v16 (+ pipeline copy)
-            + 2 * 4 * bb * SPAN * 4  # xs/xl/dxs/dxl span staging (2 slots)
-            + Kmax * bb * SPAN * 4  # per-slot clause-value scratch (vals_ref)
-            + 2 * group_rows * SPAN * itemsize  # plane staging
-            + (Kmax + 1) * Mp_local * 4  # bias + cmask const blocks
-        )
-        if footprint <= _VMEM_BUDGET:
+        if _block_footprint(bb, Np, Mp_local, group_rows, itemsize, Kmax) <= _VMEM_BUDGET:
             break
         bb //= 2
     return max(bb, 8)
@@ -507,7 +513,19 @@ def make_stream_shard_rhs(
             Bb //= 2
         grid = (B // Bb,) if B % Bb == 0 else (1,)
         if B % Bb:
-            Bb = B  # tiny odd batches: single block
+            # no power-of-two divisor >= 8: run the whole batch as one
+            # block — but only if its scratch actually fits (a large odd
+            # batch at big Np would blow VMEM; ask for a divisible batch)
+            if (
+                _block_footprint(B, Np, Mp, plan.max_group_rows, itemsize, Kmax)
+                > _VMEM_BUDGET
+            ):
+                raise ValueError(
+                    f"batch size {B} has no power-of-two divisor >= 8 and is "
+                    "too large for a single VMEM block; use a batch size "
+                    "divisible by 8"
+                )
+            Bb = B
 
         # index maps receive (grid_idx, *scalar_prefetch_refs)
         row_blk = lambda shape: pl.BlockSpec(  # noqa: E731

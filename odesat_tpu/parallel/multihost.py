@@ -32,22 +32,49 @@ def initialize_distributed(
     """Initialize multi-host JAX. No-ops when running single-process
     (all arguments None and no cluster env detected).
 
-    Only the *absence of a detectable cluster* is swallowed (ValueError:
-    "coordinator_address should be defined" / RuntimeError from cluster
-    autodetection). A real cluster misconfiguration — wrong address,
-    handshake failure — propagates instead of silently degrading to
-    single-process (round-1 ADVICE)."""
+    The cluster-present decision is structural, not message-sniffed:
+    when no cluster environment markers exist, any auto-detect failure
+    means "single process" and is swallowed; when markers ARE present
+    (a real pod/Slurm/MPI job) every failure propagates — a
+    misconfigured cluster must not silently degrade to N disconnected
+    single-process replicas (round-1 ADVICE)."""
     if coordinator_address is None and num_processes is None and process_id is None:
+        import os
+
+        try:
+            from jax._src import xla_bridge
+
+            if xla_bridge.backends_are_initialized():
+                # too late to initialize distributed (jax refuses after
+                # backend init); a real pod job calls this first thing,
+                # so a late call is single-process semantics — no-op
+                return
+        except ImportError:  # private module moved: fall through to try
+            pass
+
+        cluster_markers = (
+            "MEGASCALE_COORDINATOR_ADDRESS",
+            "TPU_WORKER_HOSTNAMES",
+            "JAX_COORDINATOR_ADDRESS",
+            "COORDINATOR_ADDRESS",
+            "SLURM_JOB_ID",
+            "OMPI_COMM_WORLD_SIZE",
+        )
+
+        def _marker_set(name: str) -> bool:
+            # some single-chip images export placeholder values like
+            # "WARNING: could not determine TPU worker hostnames" —
+            # treat only plausible address values as a cluster signal
+            val = os.environ.get(name, "")
+            return bool(val) and not val.upper().startswith("WARNING")
+
+        in_cluster_env = any(_marker_set(m) for m in cluster_markers)
         try:
             jax.distributed.initialize()  # cluster auto-detection (TPU pods)
-        except (ValueError, RuntimeError) as e:
-            msg = str(e)
-            if (
-                "coordinator_address" in msg  # no cluster env detected
-                or "must be called before" in msg  # backend already up, single-process
-            ):
-                return  # single-process
-            raise
+        except (ValueError, RuntimeError):
+            if in_cluster_env:
+                raise
+            return  # no cluster env: single-process
     else:
         kwargs = {}
         if initialization_timeout is not None:
