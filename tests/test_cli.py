@@ -412,3 +412,44 @@ def test_cli_solve_no_preprocess(data_dir, capsys):
     assert rc == 0
     assert "Preprocessing" not in captured
     assert "Checking if solution vector satisfies formula: true" in captured
+
+
+def test_cli_batch_clause_shards_uses_kernel_path(data_dir, capsys, monkeypatch):
+    """batch --clause-shards must compile via compile_for_mesh so the
+    clause-sharded streaming kernel is reachable (package-review
+    finding: it silently ran the scan fallback)."""
+    import odesat_tpu.parallel.sharded as sharded
+
+    seen = {}
+    orig = sharded.compile_for_mesh
+
+    def spy(formula, config, mesh):
+        fa = orig(formula, config, mesh)
+        seen["plan"] = fa.shard_plan
+        return fa
+
+    monkeypatch.setattr(sharded, "compile_for_mesh", spy)
+    rc = main(
+        [
+            "batch",
+            "-f",
+            os.path.join(data_dir, "small.cnf"),
+            "-b",
+            "8",
+            "-n",
+            "400",
+            "-s",
+            "0.01",
+            "--seed",
+            "4",
+            "--devices",
+            "4",
+            "--clause-shards",
+            "2",
+            "--chunk-steps",
+            "64",
+        ]
+    )
+    assert rc == 0
+    assert "plan" in seen and seen["plan"] is not None
+    assert "Checking if solution vector satisfies formula: true" in capsys.readouterr().out
