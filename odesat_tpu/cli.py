@@ -397,12 +397,10 @@ def cmd_inter(args) -> int:
 
 def cmd_hybrid(args) -> int:
     """solve-style pipeline with both engines racing (no reference
-    counterpart; preprocessing + witness reconstruction as in solve)."""
-    if args.resume:
-        # the portfolio holds two engine states; a single-state snapshot
-        # cannot resume it — error instead of silently ignoring the flag
-        print("error: --resume is not supported by the hybrid mode", file=sys.stderr)
-        raise SystemExit(2)
+    counterpart; preprocessing + witness reconstruction as in solve).
+    Checkpoints hold BOTH engine states (utils/checkpoint
+    save_hybrid_state), so --checkpoint/--resume work like the other
+    modes."""
     formula = _load(args)
     config = _config_from_args(args, batch_size=args.batch_size)
 

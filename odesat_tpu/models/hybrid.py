@@ -51,7 +51,13 @@ def hybrid_search(
 
     ``mesh``: a trajectory-only mesh shards both engines' batches as
     pure DP (the stochastic engine has no clause-sharded path, so a
-    clause axis > 1 raises)."""
+    clause axis > 1 raises).
+
+    Ops parity with the single-engine loops: ``checkpoint_path`` +
+    ``checkpoint_every_chunks`` snapshot BOTH engine states into one
+    file, ``resume_from`` restores them (single-device only — the
+    sharded stoch key layout doesn't round-trip), ``log_every_chunks``
+    logs both engines."""
     config = config or SolverConfig()
     if isinstance(formula_or_arrays, FormulaArrays):
         fa = formula_or_arrays
@@ -75,8 +81,28 @@ def hybrid_search(
 
     chunk = config.chunk_steps
     dev = formula_device(fa)
-    ode_state = init_state(fa, config.batch_size, k_ode, ode)
-    stoch_state = init_stoch_state(fa, config.batch_size, k_stoch)
+    steps_resumed = 0
+    if config.resume_from:
+        import jax.numpy as jnp
+
+        from odesat_tpu.models.stoch import StochState
+        from odesat_tpu.utils.checkpoint import load_hybrid_state
+
+        from odesat_tpu.models.ode import ODEState
+
+        ode_loaded, stoch_loaded, steps_resumed = load_hybrid_state(
+            config.resume_from, ODEState, StochState
+        )
+        if mesh is not None:
+            raise ValueError(
+                "hybrid resume on a mesh is not supported (per-device "
+                "stoch key layout); resume without --devices"
+            )
+        ode_state = jax.tree.map(jnp.asarray, ode_loaded)
+        stoch_state = jax.tree.map(jnp.asarray, stoch_loaded)
+    else:
+        ode_state = init_state(fa, config.batch_size, k_ode, ode)
+        stoch_state = init_stoch_state(fa, config.batch_size, k_stoch)
     if mesh is not None:
         from odesat_tpu.models.stoch import StochState
         from odesat_tpu.parallel.sharded import (
@@ -119,12 +145,27 @@ def hybrid_search(
         )
 
     budget = ode.steps
-    steps = 0
+    steps = steps_resumed
+    chunks = 0
     t0 = time.perf_counter()
     while budget is None or steps < budget:
         ode_state = ode_runner(ode_state, dev)
         stoch_state = stoch_runner(stoch_state)
         steps += chunk
+        chunks += 1
+        if config.log_every_chunks and chunks % config.log_every_chunks == 0:
+            from odesat_tpu.utils.logging import log_chunk
+
+            log_chunk(ode_state, steps)
+            log_chunk(stoch_state, steps)
+        if (
+            config.checkpoint_every_chunks
+            and config.checkpoint_path
+            and chunks % config.checkpoint_every_chunks == 0
+        ):
+            from odesat_tpu.utils.checkpoint import save_hybrid_state
+
+            save_hybrid_state(config.checkpoint_path, ode_state, stoch_state, steps)
         ode_done = np.asarray(ode_state.done)
         if ode_done.any():
             idx = int(np.flatnonzero(ode_done)[0])

@@ -42,3 +42,41 @@ def load_state(path: str, state_cls):
         values = [data[f"field_{name}"] for name in fields]
         steps = int(data["steps"])
     return state_cls(*values), steps
+
+
+def save_hybrid_state(path: str, ode_state, stoch_state, steps: int) -> None:
+    """Snapshot the hybrid portfolio's two engine states into one file
+    (field keys prefixed per engine)."""
+    arrays = {f"ode_{k}": np.asarray(v) for k, v in ode_state._asdict().items()}
+    arrays.update(
+        {f"stoch_{k}": np.asarray(v) for k, v in stoch_state._asdict().items()}
+    )
+    arrays["steps"] = np.asarray(steps)
+    arrays["ode_fields"] = np.asarray(list(ode_state._fields))
+    arrays["stoch_fields"] = np.asarray(list(stoch_state._fields))
+    directory = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(directory, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=directory, suffix=".npz.tmp")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            np.savez(fh, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_hybrid_state(path: str, ode_cls, stoch_cls):
+    """Load a hybrid snapshot. Returns (ode_state, stoch_state, steps)."""
+    with np.load(path, allow_pickle=False) as data:
+        if "ode_fields" not in data:
+            raise ValueError(
+                f"{path} is a single-engine snapshot, not a hybrid one"
+            )
+        ode = ode_cls(*[data[f"ode_{f}"] for f in (str(x) for x in data["ode_fields"])])
+        stoch = stoch_cls(
+            *[data[f"stoch_{f}"] for f in (str(x) for x in data["stoch_fields"])]
+        )
+        steps = int(data["steps"])
+    return ode, stoch, steps

@@ -204,19 +204,25 @@ def test_cli_gen_rejects_narrow_locality(tmp_path, capsys):
     assert "locality" in capsys.readouterr().err
 
 
-def test_cli_hybrid_rejects_resume(data_dir, capsys, tmp_path):
-    with pytest.raises(SystemExit) as exc:
-        main(
-            [
-                "hybrid",
-                "-f",
-                os.path.join(data_dir, "small.cnf"),
-                "--resume",
-                str(tmp_path / "nonexistent.npz"),
-            ]
-        )
-    assert exc.value.code == 2
-    assert "--resume" in capsys.readouterr().err
+def test_cli_hybrid_checkpoint_resume_roundtrip(data_dir, tmp_path, capsys):
+    """Hybrid checkpoints hold both engine states; a resumed run picks
+    up the step counter and finishes (hard.cnf is UNSAT: both runs
+    exhaust their budgets deterministically)."""
+    ckpt = str(tmp_path / "hybrid.npz")
+    common = [
+        "hybrid", "-f", os.path.join(data_dir, "hard.cnf"),
+        "-n", "96", "-s", "0.01", "-b", "4", "--seed", "7",
+        "--chunk-steps", "16",
+    ]
+    rc = main(common + ["--checkpoint", ckpt, "--checkpoint-every", "1"])
+    assert rc == 0
+    assert os.path.exists(ckpt)
+    rc = main(common + ["--resume", ckpt])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Checking if solution vector satisfies formula: false" in out
+    # resumed budget accounting: fewer steps remained, so fewer ran
+    assert "after 96 steps" in out
 
 
 def test_cli_batch_progress_line(data_dir, capsys):
