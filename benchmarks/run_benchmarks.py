@@ -181,6 +181,26 @@ def main():
         "note": "streaming kernel; the scan path tops out ~1.2e5 and OOMs past B=2048",
     }
 
+    # --- config 4c: stochastic engine, resident fused kernel (aim100) -----
+    from odesat_tpu.ops.stoch_pallas import make_fused_stoch_chunk
+
+    formula_h = parse_dimacs_file(os.path.join(DATA, "hard.cnf"))
+    _, normalized_h = normalize_cnf_variables(formula_h)
+    fa_h = compile_formula(normalized_h)
+    sb2 = 4096 if q else 16384
+    schunk2 = 200 if q else 2000
+    sfn2 = make_fused_stoch_chunk(fa_h, schunk2, matmul_dtype="bfloat16")
+    from odesat_tpu.models.stoch import init_stoch_state as _iss
+    from odesat_tpu.utils.timing import measure_throughput as _mt4c
+
+    sstate2 = _iss(fa_h, sb2, jax.random.PRNGKey(0))
+    srunner2 = lambda st, dev=None: sfn2(st)  # noqa: E731
+    srate2, _ = _mt4c(srunner2, sstate2, None, schunk2, sb2, iters=3)
+    results["configs"]["stoch_aim100_fused"] = {
+        "chain_steps_per_sec": srate2,
+        "note": "resident fused kernel, concatenated-plane matmuls",
+    }
+
     # --- config 5: uf250-class --------------------------------------------
     formula = random_ksat(250, 1065, k=3, seed=11, planted=True)
     _, normalized = normalize_cnf_variables(formula)

@@ -29,7 +29,6 @@ Design departures, all deliberate:
 
 from __future__ import annotations
 
-import time
 from dataclasses import dataclass
 from typing import NamedTuple, Optional
 
@@ -38,7 +37,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from odesat_tpu.cnf.arrays import FormulaArrays, compile_formula
-from odesat_tpu.cnf.formula import CNFFormula
 from odesat_tpu.constants import STOCH_ALPHA
 from odesat_tpu.utils.config import SolverConfig
 

@@ -17,7 +17,6 @@ Validated without hardware via
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
