@@ -81,3 +81,30 @@ def test_random_local_ksat_rejects_narrow_window():
 
     with pytest.raises(ValueError, match="locality"):
         random_local_ksat(100, 10, k=3, locality=2)
+
+
+def test_profile_dir_writes_trace(tmp_path):
+    """--profile-dir captures a jax.profiler trace around the solve loop."""
+    import os
+
+    from odesat_tpu.cnf import normalize_cnf_variables
+    from odesat_tpu.models.ode import simulate_batch
+    from odesat_tpu.utils.generate import random_ksat
+
+    formula = random_ksat(20, 60, k=3, seed=0)
+    _, normalized = normalize_cnf_variables(formula)
+    prof = str(tmp_path / "trace")
+    config = SolverConfig(
+        ode=ODEConfig(step_size=0.01, steps=32),
+        batch_size=4,
+        seed=0,
+        chunk_steps=16,
+        profile_dir=prof,
+    )
+    simulate_batch(normalized, config)
+    found = [
+        os.path.join(r, f)
+        for r, _, files in os.walk(prof)
+        for f in files
+    ]
+    assert found, "profiler produced no trace files"
