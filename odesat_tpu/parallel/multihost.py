@@ -41,17 +41,6 @@ def initialize_distributed(
     if coordinator_address is None and num_processes is None and process_id is None:
         import os
 
-        try:
-            from jax._src import xla_bridge
-
-            if xla_bridge.backends_are_initialized():
-                # too late to initialize distributed (jax refuses after
-                # backend init); a real pod job calls this first thing,
-                # so a late call is single-process semantics — no-op
-                return
-        except ImportError:  # private module moved: fall through to try
-            pass
-
         cluster_markers = (
             "MEGASCALE_COORDINATOR_ADDRESS",
             "TPU_WORKER_HOSTNAMES",
@@ -69,6 +58,24 @@ def initialize_distributed(
             return bool(val) and not val.upper().startswith("WARNING")
 
         in_cluster_env = any(_marker_set(m) for m in cluster_markers)
+
+        try:
+            from jax._src import xla_bridge
+
+            if xla_bridge.backends_are_initialized():
+                # too late to initialize distributed (jax refuses after
+                # backend init): on a real pod that's a programming
+                # error worth surfacing; single-process it's a no-op
+                if in_cluster_env:
+                    raise RuntimeError(
+                        "initialize_distributed() must run before any JAX "
+                        "computation on a pod (the XLA backend is already "
+                        "initialized)"
+                    )
+                return
+        except ImportError:  # private module moved: fall through to try
+            pass
+
         try:
             jax.distributed.initialize()  # cluster auto-detection (TPU pods)
         except (ValueError, RuntimeError):
