@@ -51,11 +51,16 @@ def initialize_distributed(
         )
 
         def _marker_set(name: str) -> bool:
-            # some single-chip images export placeholder values like
-            # "WARNING: could not determine TPU worker hostnames" —
-            # treat only plausible address values as a cluster signal
+            # single-chip images export placeholder values ("WARNING:
+            # could not determine ...", or a lone "localhost") — treat
+            # only plausible multi-host values as a cluster signal
             val = os.environ.get(name, "")
-            return bool(val) and not val.upper().startswith("WARNING")
+            if not val or val.upper().startswith("WARNING"):
+                return False
+            if name == "TPU_WORKER_HOSTNAMES":
+                # a pod lists several workers; one local name is not a pod
+                return "," in val and val not in ("localhost", "127.0.0.1")
+            return True
 
         in_cluster_env = any(_marker_set(m) for m in cluster_markers)
 
