@@ -324,7 +324,7 @@ def cmd_batch(args) -> int:
         # layout would silently strand the run on the scan fallback
         from odesat_tpu.parallel.sharded import compile_for_mesh
 
-        fa = compile_for_mesh(normalized, config, mesh)
+        fa = _or_exit(compile_for_mesh, normalized, config, mesh)
     else:
         fa = compile_formula(
             normalized, clause_pad=config.clause_pad, var_pad=config.var_pad
@@ -353,8 +353,8 @@ def cmd_batch(args) -> int:
                 return True
         return False
 
-    result = simulate_batch(
-        fa, config, stop_on="all", harvest=harvest, mesh=mesh
+    result = _or_exit(
+        simulate_batch, fa, config, stop_on="all", harvest=harvest, mesh=mesh
     )
     if progress["chunks"]:
         print()  # terminate the \r progress line

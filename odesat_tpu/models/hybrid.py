@@ -81,6 +81,14 @@ def hybrid_search(
 
     chunk = config.chunk_steps
     dev = formula_device(fa)
+    if mesh is not None and config.checkpoint_path:
+        # a mesh snapshot would hold the per-device stoch key layout,
+        # which no resume path accepts — refuse up front rather than
+        # writing checkpoints that can never be loaded
+        raise ValueError(
+            "hybrid checkpointing on a mesh is not supported; checkpoint "
+            "without --devices"
+        )
     steps_resumed = 0
     if config.resume_from:
         import jax.numpy as jnp
@@ -97,6 +105,11 @@ def hybrid_search(
             raise ValueError(
                 "hybrid resume on a mesh is not supported (per-device "
                 "stoch key layout); resume without --devices"
+            )
+        if stoch_loaded.key.ndim != 1:
+            raise ValueError(
+                "this hybrid snapshot was taken on a mesh (per-device stoch "
+                "key layout) and cannot be resumed"
             )
         ode_state = jax.tree.map(jnp.asarray, ode_loaded)
         stoch_state = jax.tree.map(jnp.asarray, stoch_loaded)
@@ -144,53 +157,88 @@ def hybrid_search(
             fa, chunk, matmul_dtype=ode.matmul_dtype
         )
 
+    # tail runners keep the step budget exact (a 100-step budget with
+    # chunk 16 runs 100 steps, not 112 — same clamp as drive_chunks)
+    tail_runners = None
+
+    def _make_runners(n):
+        if mesh is not None:
+            from odesat_tpu.parallel.sharded import (
+                make_sharded_chunk_runner as _mscr,
+                make_sharded_stoch_runner as _mssr,
+            )
+
+            return _mscr(fa, zeta, ode, n, mesh), _mssr(
+                fa, n, mesh, matmul_dtype=ode.matmul_dtype
+            )
+        return (
+            make_chunk_runner(fa, zeta, ode, n),
+            make_stoch_chunk_runner(fa, n, matmul_dtype=ode.matmul_dtype),
+        )
+
     budget = ode.steps
     steps = steps_resumed
     chunks = 0
     t0 = time.perf_counter()
-    while budget is None or steps < budget:
-        ode_state = ode_runner(ode_state, dev)
-        stoch_state = stoch_runner(stoch_state)
-        steps += chunk
-        chunks += 1
-        if config.log_every_chunks and chunks % config.log_every_chunks == 0:
-            from odesat_tpu.utils.logging import log_chunk
+    profiling = False
+    if config.profile_dir:
+        jax.profiler.start_trace(config.profile_dir)
+        profiling = True
+    try:
+        while budget is None or steps < budget:
+            remaining = None if budget is None else budget - steps
+            if remaining is not None and remaining < chunk:
+                if tail_runners is None:
+                    tail_runners = _make_runners(remaining)
+                ode_state = tail_runners[0](ode_state, dev)
+                stoch_state = tail_runners[1](stoch_state)
+                steps += remaining
+            else:
+                ode_state = ode_runner(ode_state, dev)
+                stoch_state = stoch_runner(stoch_state)
+                steps += chunk
+            chunks += 1
+            if config.log_every_chunks and chunks % config.log_every_chunks == 0:
+                from odesat_tpu.utils.logging import log_chunk
 
-            log_chunk(ode_state, steps)
-            log_chunk(stoch_state, steps)
-        if (
-            config.checkpoint_every_chunks
-            and config.checkpoint_path
-            and chunks % config.checkpoint_every_chunks == 0
-        ):
-            from odesat_tpu.utils.checkpoint import save_hybrid_state
+                log_chunk(ode_state, steps)
+                log_chunk(stoch_state, steps)
+            if (
+                config.checkpoint_every_chunks
+                and config.checkpoint_path
+                and chunks % config.checkpoint_every_chunks == 0
+            ):
+                from odesat_tpu.utils.checkpoint import save_hybrid_state
 
-            save_hybrid_state(config.checkpoint_path, ode_state, stoch_state, steps)
-        ode_done = np.asarray(ode_state.done)
-        if ode_done.any():
-            idx = int(np.flatnonzero(ode_done)[0])
-            return HybridResult(
-                engine="ode",
-                assignment=_readout(ode_state, fa.n_vars)[idx],
-                solved=True,
-                steps=steps,
-                wall_time_s=time.perf_counter() - t0,
-            )
-        stoch_done = np.asarray(stoch_state.done)
-        if stoch_done.any():
-            idx = int(np.flatnonzero(stoch_done)[0])
-            return HybridResult(
-                engine="stoch",
-                assignment=np.asarray(stoch_state.v)[idx, : fa.n_vars],
-                solved=True,
-                steps=steps,
-                wall_time_s=time.perf_counter() - t0,
-            )
-        if (
-            config.wall_clock_budget_s is not None
-            and time.perf_counter() - t0 > config.wall_clock_budget_s
-        ):
-            break
+                save_hybrid_state(config.checkpoint_path, ode_state, stoch_state, steps)
+            ode_done = np.asarray(ode_state.done)
+            if ode_done.any():
+                idx = int(np.flatnonzero(ode_done)[0])
+                return HybridResult(
+                    engine="ode",
+                    assignment=_readout(ode_state, fa.n_vars)[idx],
+                    solved=True,
+                    steps=steps,
+                    wall_time_s=time.perf_counter() - t0,
+                )
+            stoch_done = np.asarray(stoch_state.done)
+            if stoch_done.any():
+                idx = int(np.flatnonzero(stoch_done)[0])
+                return HybridResult(
+                    engine="stoch",
+                    assignment=np.asarray(stoch_state.v)[idx, : fa.n_vars],
+                    solved=True,
+                    steps=steps,
+                    wall_time_s=time.perf_counter() - t0,
+                )
+            if (
+                config.wall_clock_budget_s is not None
+                and time.perf_counter() - t0 > config.wall_clock_budget_s
+            ):
+                break
+    finally:
+        if profiling:
+            jax.profiler.stop_trace()
     return HybridResult(
         engine="none",
         assignment=_readout(ode_state, fa.n_vars)[0],

@@ -106,11 +106,20 @@ def make_fused_chunk(
     # calibrated against a measured case — Np=256, Mp=1152, K=3 at
     # traj_block=1024 allocates 96.1MB ~= Bb*4*(2*Np + 7*K*Mp). A
     # high-density formula can fit the G envelope yet blow this budget.
+    requested_block = traj_block
     while traj_block > 64:
         block_bytes = traj_block * 4 * (2 * Np + 7 * K * Mp)
         if block_bytes <= 56 * 1024 * 1024:
             break
         traj_block //= 2
+    if traj_block != requested_block:
+        from odesat_tpu.utils.logging import logger
+
+        logger.info(
+            "fused kernel: traj_block %d exceeds the VMEM budget for "
+            "Np=%d Mp=%d K=%d; running at %d",
+            requested_block, Np, Mp, K, traj_block,
+        )
     paper = ode.rigidity == "paper"
     fixed = ode.step_size is not None
     dt_fixed = float(ode.step_size) if fixed else 0.0

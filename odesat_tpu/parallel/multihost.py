@@ -59,7 +59,7 @@ def initialize_distributed(
                 return False
             if name == "TPU_WORKER_HOSTNAMES":
                 # a pod lists several workers; one local name is not a pod
-                return "," in val and val not in ("localhost", "127.0.0.1")
+                return "," in val
             return True
 
         in_cluster_env = any(_marker_set(m) for m in cluster_markers)

@@ -15,12 +15,8 @@ import tempfile
 import numpy as np
 
 
-def save_state(path: str, state, steps: int) -> None:
-    """Atomically snapshot a solver state NamedTuple (ODEState or
-    StochState) plus the step counter."""
-    arrays = {f"field_{name}": np.asarray(value) for name, value in state._asdict().items()}
-    arrays["steps"] = np.asarray(steps)
-    arrays["fields"] = np.asarray(list(state._fields))
+def _atomic_savez(path: str, arrays: dict) -> None:
+    """Write an .npz atomically (tmp file + rename)."""
     directory = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(directory, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=directory, suffix=".npz.tmp")
@@ -32,6 +28,15 @@ def save_state(path: str, state, steps: int) -> None:
         if os.path.exists(tmp):
             os.unlink(tmp)
         raise
+
+
+def save_state(path: str, state, steps: int) -> None:
+    """Atomically snapshot a solver state NamedTuple (ODEState or
+    StochState) plus the step counter."""
+    arrays = {f"field_{name}": np.asarray(value) for name, value in state._asdict().items()}
+    arrays["steps"] = np.asarray(steps)
+    arrays["fields"] = np.asarray(list(state._fields))
+    _atomic_savez(path, arrays)
 
 
 def load_state(path: str, state_cls):
@@ -54,17 +59,7 @@ def save_hybrid_state(path: str, ode_state, stoch_state, steps: int) -> None:
     arrays["steps"] = np.asarray(steps)
     arrays["ode_fields"] = np.asarray(list(ode_state._fields))
     arrays["stoch_fields"] = np.asarray(list(stoch_state._fields))
-    directory = os.path.dirname(os.path.abspath(path)) or "."
-    os.makedirs(directory, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=directory, suffix=".npz.tmp")
-    try:
-        with os.fdopen(fd, "wb") as fh:
-            np.savez(fh, **arrays)
-        os.replace(tmp, path)
-    except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-        raise
+    _atomic_savez(path, arrays)
 
 
 def load_hybrid_state(path: str, ode_cls, stoch_cls):

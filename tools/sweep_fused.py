@@ -24,23 +24,27 @@ HERE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
 
 def main():
-    # args: [--uf N] [--adaptive] traj_block[:interleave] ...
+    # args (any order): [--uf N] [--adaptive] traj_block[:interleave] ...
     argv = sys.argv[1:]
     uf = None
     adaptive = False
-    if argv and argv[0] == "--uf":
-        uf = int(argv[1])
-        argv = argv[2:]
-    if argv and argv[0] == "--adaptive":
-        adaptive = True
-        argv = argv[1:]
     specs = []
-    for a in argv:
-        if ":" in a:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--uf":
+            uf = int(argv[i + 1])
+            i += 2
+        elif a == "--adaptive":
+            adaptive = True
+            i += 1
+        elif ":" in a:
             tb, il = a.split(":")
             specs.append((int(tb), int(il)))
+            i += 1
         else:
             specs.append((int(a), 1))
+            i += 1
     specs = specs or [(256, 1), (512, 1), (1024, 1), (2048, 1)]
     if uf:
         from odesat_tpu.utils.generate import uf_instance
