@@ -51,6 +51,7 @@ __all__ = [
     "compile_formula",
     "enable_compilation_cache",
     "evaluate_cnf",
+    "hybrid_search",
     "models",
     "normalize_cnf_variables",
     "ode",
