@@ -106,3 +106,75 @@ def test_tie_semantics_duplicate_min():
     dv_o, *_ = compute_derivatives_oracle(v.copy(), xs.copy(), xl.copy(), formula, 0.1)
     dv, *_ = _jax_rhs(fa, v, xs, xl, 0.1, "reference", "gather")
     np.testing.assert_allclose(np.asarray(dv)[:3], dv_o[:3], rtol=1e-9)
+
+
+def test_duplicate_literals_in_clause_match_oracle():
+    """batch/inter skip preprocessing, so clauses can reach the kernels
+    with duplicate literals (the reference walks them twice too:
+    src/system.rs:35-90). Tie semantics: the duplicated min leaves
+    second_min == min."""
+    import jax
+
+    from odesat_tpu.cnf import compile_formula
+    from odesat_tpu.cnf.formula import CNFFormula, Literal
+    from odesat_tpu.models.ode import formula_device, init_state, make_step_fn
+    from odesat_tpu.ops.oracle import compute_derivatives_oracle
+    from odesat_tpu.utils.config import ODEConfig
+
+    clauses = [
+        (Literal(0, False), Literal(0, False), Literal(1, True)),  # dup literal
+        (Literal(1, False), Literal(1, True), Literal(2, False)),  # tautology
+        (Literal(2, False), Literal(0, True), Literal(1, False)),
+    ]
+    formula = CNFFormula(clauses, 3)
+    fa = compile_formula(formula, clause_pad=8, var_pad=8)
+    ode = ODEConfig(step_size=0.01)
+    state = init_state(fa, 1, jax.random.PRNGKey(0), ode)
+    dev = formula_device(fa)
+    step = make_step_fn(fa, 0.001, ode)
+    out = step(state, dev)
+    assert np.isfinite(np.asarray(out.v)).all()
+
+    # RHS parity against the scalar oracle transcription on the same state
+    from odesat_tpu.ops import rhs as rhs_ops
+
+    v = np.asarray(state.v[0], dtype=np.float64)
+    xs = np.asarray(state.xs[0], dtype=np.float64)
+    xl = np.asarray(state.xl[0], dtype=np.float64)
+    dv_o, dxs_o, dxl_o, _ = compute_derivatives_oracle(
+        v[: formula.varnum].copy(), xs[: fa.n_clauses].copy(),
+        xl[: fa.n_clauses].copy(), formula, 0.001, rigidity="paper",
+    )
+    dv, dxs, dxl, _ = rhs_ops.compute_derivatives(
+        state.v[0], state.xs[0], state.xl[0],
+        lit_var=dev.lit_var, sign=dev.sign, lit_mask=dev.lit_mask,
+        clause_mask=dev.clause_mask, var_occ=dev.var_occ,
+        occ_mask=dev.occ_mask, zeta=0.001, rigidity="paper",
+        dv_strategy="segment_sum",
+    )
+    np.testing.assert_allclose(
+        np.asarray(dv)[: formula.varnum], dv_o, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(dxs)[: fa.n_clauses], dxs_o, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_zero_clause_formula_is_instantly_satisfied():
+    """A formula with no clauses is vacuously SAT: every trajectory's
+    allsat flag latches on the first step."""
+    import jax
+
+    from odesat_tpu.cnf import compile_formula
+    from odesat_tpu.cnf.formula import CNFFormula
+    from odesat_tpu.models.ode import simulate_batch
+    from odesat_tpu.utils.config import ODEConfig, SolverConfig
+
+    formula = CNFFormula([], 3)
+    config = SolverConfig(
+        ode=ODEConfig(step_size=0.01, steps=8), batch_size=2, seed=0,
+        chunk_steps=4,
+    )
+    result = simulate_batch(formula, config)
+    assert result.any_solved
+    assert result.done.all()
