@@ -42,11 +42,14 @@ def measure_baseline(normalized) -> float:
         from odesat_tpu import native
 
         if native.is_available():
+            # max over several short runs: the host CPU is shared, and a
+            # loaded core halves the measured baseline (the TPU number is
+            # stable — only this ratio's denominator swings)
             return max(
                 native.baseline_steps_per_sec(
                     normalized, steps=20000, dt=0.01, zeta=0.001
                 )
-                for _ in range(3)
+                for _ in range(5)
             )
     except Exception:  # noqa: BLE001 — benchmark must not die on baseline
         pass
