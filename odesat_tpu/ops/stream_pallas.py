@@ -195,8 +195,6 @@ def make_stream_chunk(
         )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if traj_block is None:
-        traj_block = 512
 
     K, Mp = fa.lit_var.shape
     Np = fa.n_vars_padded
@@ -220,6 +218,26 @@ def make_stream_chunk(
     cmask_host = jnp.asarray(fa.clause_mask.astype(np.float32).reshape(1, Mp))
     S = len(span_meta)
     max_group_rows = max(kb * w for _, kb, w, _, _ in span_meta)
+
+    def _static_vmem(bb: int) -> int:
+        # mirrors the buffer accounting in raw() below
+        n_ch = 4 if fixed else 6
+        return (
+            2 * max_group_rows * SPAN * itemsize
+            + 2 * n_ch * bb * SPAN * 4
+            + Kmax * bb * SPAN * 4
+            + bb * Np * (itemsize + 4)
+            + 3 * bb * Np * 4
+            + (K + 1) * Mp * 4
+        )
+
+    if traj_block is None:
+        # fixed mode takes 1024-row blocks when they fit the scoped-VMEM
+        # cap (+3% measured on preprocessed n=1k); adaptive carries more
+        # staging channels and intermediates, so it stays at 512
+        traj_block = 512
+        if fixed and int(_static_vmem(1024) * 1.8) <= 88 * 1024 * 1024:
+            traj_block = 1024
 
     cache_key = (
         "stream", Np, Mp, K, Kmax, fa.n_clauses, tuple(span_meta), zeta_c,
@@ -606,15 +624,9 @@ def make_stream_chunk(
         # Mosaic's default scoped-VMEM limit is 16MB but v5e cores have
         # headroom beyond it; request what the buffers + unrolled-loop
         # temporaries actually need (measured ~1.3x the static buffers).
-        static_vmem = (
-            2 * max_group_rows * SPAN * itemsize  # plane stage
-            + 2 * n_io_channels * Bb * SPAN * 4
-            + Kmax * Bb * SPAN * 4
-            + Bb * Np * (itemsize + 4)
-            + 3 * Bb * Np * 4  # v in/out blocks + pipeline copy
-            + (K + 1) * Mp * 4
+        vmem_limit = max(
+            16 * 1024 * 1024, min(int(_static_vmem(Bb) * 1.8), 96 * 1024 * 1024)
         )
-        vmem_limit = max(16 * 1024 * 1024, min(int(static_vmem * 1.8), 96 * 1024 * 1024))
 
         n_window_flops = sum(kb * w * SPAN for _, kb, w, _, _ in span_meta)
         outs = pl.pallas_call(
