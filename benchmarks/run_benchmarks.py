@@ -119,13 +119,15 @@ def main():
     fa = compile_formula(normalized)
     ode = ODEConfig(matmul_dtype="bfloat16")  # adaptive, tol 1e-3
     results["configs"]["hard_adaptive"] = {
-        "traj_steps_per_sec": throughput(fa, ode, batch=2048 if q else 8192, chunk=200),
+        "traj_steps_per_sec": throughput(
+            fa, ode, batch=2048 if q else 8192, chunk=200 if q else 2000
+        ),
         "note": "adaptive = 2 RHS evals + 3 updates per step",
     }
     ode_fixed = ODEConfig(step_size=0.01, matmul_dtype="bfloat16")
     results["configs"]["hard_fixed"] = {
         "traj_steps_per_sec": throughput(
-            fa, ode_fixed, batch=4096 if q else 16384, chunk=500
+            fa, ode_fixed, batch=4096 if q else 16384, chunk=500 if q else 4000
         ),
     }
 
@@ -210,7 +212,7 @@ def main():
             fa,
             ODEConfig(step_size=0.01, matmul_dtype="bfloat16"),
             batch=4096 if q else 16384,
-            chunk=200,
+            chunk=200 if q else 2000,
         ),
     }
 
