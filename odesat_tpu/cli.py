@@ -235,11 +235,21 @@ def _load(args):
     try:
         from odesat_tpu import native
 
-        if native.is_available():
+        native_ok = native.is_available()
+    except ImportError:
+        native_ok = False
+    if native_ok:
+        try:
             with open(args.input, "r", encoding="utf-8") as fh:
                 return native.parse_dimacs_native(fh.read())
-    except Exception:  # noqa: BLE001 — fall back to the Python parser
-        pass
+        except ValueError as e:
+            # a genuine parse error must surface, not silently retry on
+            # the Python parser (the two are fuzz-parity-tested; hiding
+            # a native failure here would mask a real scanner bug)
+            print(f"error: malformed DIMACS in {args.input}: {e}", file=sys.stderr)
+            raise SystemExit(2) from None
+        except (OSError, RuntimeError, UnicodeDecodeError):
+            pass  # IO/library trouble: the Python parser reads the file itself
     try:
         return parse_dimacs_file(args.input)
     except ValueError as e:

@@ -55,8 +55,9 @@ def hybrid_search(
 
     Ops parity with the single-engine loops: ``checkpoint_path`` +
     ``checkpoint_every_chunks`` snapshot BOTH engine states into one
-    file, ``resume_from`` restores them (single-device only — the
-    sharded stoch key layout doesn't round-trip), ``log_every_chunks``
+    file, ``resume_from`` restores them — mesh snapshots resume on a
+    mesh with the same trajectory device count (the per-device stoch
+    key layout is validated like models/stoch.py), ``log_every_chunks``
     logs both engines."""
     config = config or SolverConfig()
     if isinstance(formula_or_arrays, FormulaArrays):
@@ -81,15 +82,8 @@ def hybrid_search(
 
     chunk = config.chunk_steps
     dev = formula_device(fa)
-    if mesh is not None and config.checkpoint_path:
-        # a mesh snapshot would hold the per-device stoch key layout,
-        # which no resume path accepts — refuse up front rather than
-        # writing checkpoints that can never be loaded
-        raise ValueError(
-            "hybrid checkpointing on a mesh is not supported; checkpoint "
-            "without --devices"
-        )
     steps_resumed = 0
+    resumed = False
     if config.resume_from:
         import jax.numpy as jnp
 
@@ -101,18 +95,27 @@ def hybrid_search(
         ode_loaded, stoch_loaded, steps_resumed = load_hybrid_state(
             config.resume_from, ODEState, StochState
         )
+        # mesh snapshots carry the per-device stoch key layout — resume
+        # needs the same trajectory device count (same validation as the
+        # plain stoch engine, models/stoch.py)
         if mesh is not None:
-            raise ValueError(
-                "hybrid resume on a mesh is not supported (per-device "
-                "stoch key layout); resume without --devices"
-            )
-        if stoch_loaded.key.ndim != 1:
+            n_traj = mesh.shape.get("traj", 1)
+            if stoch_loaded.key.ndim != 2 or stoch_loaded.key.shape[0] != n_traj:
+                raise ValueError(
+                    f"cannot resume this hybrid snapshot on a {n_traj}-device "
+                    "mesh: it holds "
+                    f"{stoch_loaded.key.shape[0] if stoch_loaded.key.ndim == 2 else 1}"
+                    " per-device stoch PRNG key(s); resume with the same "
+                    "--devices count"
+                )
+        elif stoch_loaded.key.ndim != 1:
             raise ValueError(
                 "this hybrid snapshot was taken on a mesh (per-device stoch "
-                "key layout) and cannot be resumed"
+                "key layout); resume with the same --devices count"
             )
         ode_state = jax.tree.map(jnp.asarray, ode_loaded)
         stoch_state = jax.tree.map(jnp.asarray, stoch_loaded)
+        resumed = True
     else:
         ode_state = init_state(fa, config.batch_size, k_ode, ode)
         stoch_state = init_stoch_state(fa, config.batch_size, k_stoch)
@@ -142,15 +145,16 @@ def hybrid_search(
             fa, chunk, mesh, matmul_dtype=ode.matmul_dtype
         )
         ode_state, dev = shard_inputs(ode_state, dev, mesh)
-        stoch_state = shard_stoch_inputs(
-            StochState(
+        if not resumed:
+            # fresh runs get one PRNG key per device; resumed snapshots
+            # already carry the per-device key layout
+            stoch_state = StochState(
                 stoch_state.v,
                 stoch_state.xl,
                 stoch_state.done,
                 jax.random.split(k_stoch, n_traj),
-            ),
-            mesh,
-        )
+            )
+        stoch_state = shard_stoch_inputs(stoch_state, mesh)
     else:
         ode_runner = make_chunk_runner(fa, zeta, ode, chunk)
         stoch_runner = make_stoch_chunk_runner(

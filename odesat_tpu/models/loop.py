@@ -45,8 +45,11 @@ def drive_chunks(
     import jax
 
     chunk_steps = chunk_steps if chunk_steps is not None else config.chunk_steps
+    # checkpoint cadence counts only when a path is set (the save branch
+    # below requires both) — an inert cadence must not disable growth
     wants_chunk_cadence = bool(
-        config.checkpoint_every_chunks or config.log_every_chunks
+        (config.checkpoint_every_chunks and config.checkpoint_path)
+        or config.log_every_chunks
     )
     can_grow = not wants_chunk_cadence
 

@@ -325,7 +325,11 @@ def make_step_fn(
                 err = jax.lax.pmax(err, clause_axis)
             if ode.dt_mode == "shared":
                 # reference inter parity: one dt for the whole batch,
-                # adapted from the batch-max error (src/system.rs:314)
+                # adapted from the batch-max error (src/system.rs:314).
+                # Frozen/allsat trajectories never adapt dt in the
+                # reference (src/system.rs:122-136), so their
+                # hypothetical-step errors must not pollute the shared dt
+                err = jnp.where(advance, err, 0.0)
                 err = jnp.broadcast_to(jnp.max(err, keepdims=True), err.shape)
                 if traj_axis is not None:
                     err = jax.lax.pmax(err, traj_axis)
@@ -491,8 +495,11 @@ def simulate_batch(
     # chunk=1000 -> 2e6 at chunk=50000 (early-exit granularity coarsens
     # accordingly — tens of ms of wasted steps at these rates).
     chunk_steps = config.chunk_steps
+    # checkpoint cadence is only live when a path is set (the save branch
+    # requires both) — an inert cadence must not disable chunk growth
     wants_chunk_cadence = bool(
-        config.checkpoint_every_chunks or config.log_every_chunks
+        (config.checkpoint_every_chunks and config.checkpoint_path)
+        or config.log_every_chunks
     )
     if (
         not wants_chunk_cadence  # chunk growth would defeat the cadence flags
