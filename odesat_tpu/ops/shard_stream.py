@@ -28,16 +28,18 @@ bucket b needs, 128-aligned, capped at Np) and only the window *offset*
 ``lo`` stays per-(shard, span) — it rides in as a scalar-prefetch array
 and drives dynamic 128-aligned slices of ``v`` and the dv accumulator.
 
-Unlike the single-device chunk kernels, the kernel computes ONE RHS
-evaluation (dv/dxs/dxl/allsat) for the local clause shard; the Euler
-step runs in XLA under shard_map where ``dv`` is psum-reduced over the
-clause axis — the per-clause independence that makes this a pure
-segment-sum + all-reduce (reference walk: src/system.rs:35-90; the
-reference itself is single-threaded, SURVEY.md §2b). models/ode.py
-``make_step_fn`` supplies the integrator (freeze semantics, adaptive
-step doubling, pmax of the error norm) via its ``derivs_fn`` hook, so
-both integrators and all reduction plumbing are shared with the scan
-path.
+Unlike the single-device chunk kernels, a launch covers ONE evaluation
+of the local clause shard — but the shard-local clamped xs/xl Euler
+updates are fused into the kernel epilogue (:func:`make_fused_clause_step`,
+round-2 VERDICT item 1): the per-clause independence that makes dv a
+pure segment-sum + all-reduce (reference walk: src/system.rs:35-90)
+makes the clause-memory updates entirely shard-local, so only the v
+update — the one consumer of the psum'd dv — runs in XLA under
+shard_map. Fixed-step mode is one launch per step; adaptive mode is the
+minimum two (full-step derivatives, then the second evaluation at the
+recomputed half step) with the dv psum between them. The plain
+single-evaluation RHS (:func:`make_stream_shard_rhs`) remains the
+parity-test surface against the scan path's ``make_step_fn``.
 """
 
 from __future__ import annotations
@@ -283,14 +285,21 @@ def stream_shard_supported(fa, plan: StreamShardPlan, itemsize: int = 4) -> bool
 
 
 def _block_footprint(
-    bb: int, Np: int, Mp_local: int, group_rows: int, itemsize: int, Kmax: int
+    bb: int,
+    Np: int,
+    Mp_local: int,
+    group_rows: int,
+    itemsize: int,
+    Kmax: int,
+    channels: int = 4,
 ) -> int:
-    """VMEM working set of one trajectory block. xs/xl/dxs/dxl are
-    span-streamed through a small staging buffer (not whole VMEM
-    blocks), so the footprint is v-dominated."""
+    """VMEM working set of one trajectory block. Clause-axis state is
+    span-streamed through a small staging buffer (``channels`` double-
+    buffered (bb, SPAN) lanes, 4 for the RHS/fixed kernels, 6 for the
+    adaptive second-eval kernel), so the footprint is v-dominated."""
     return (
         bb * Np * (3 * 4 + 2 * itemsize)  # v in + dv out + dv acc + v16 (+ pipeline copy)
-        + 2 * 4 * bb * SPAN * 4  # xs/xl/dxs/dxl span staging (2 slots)
+        + 2 * channels * bb * SPAN * 4  # span staging (2 slots)
         + Kmax * bb * SPAN * 4  # per-slot clause-value scratch (vals_ref)
         + 2 * group_rows * SPAN * itemsize  # plane staging
         + (Kmax + 1) * Mp_local * 4  # bias + cmask const blocks
@@ -298,7 +307,13 @@ def _block_footprint(
 
 
 def _pick_traj_block(
-    batch: int, Np: int, Mp_local: int, group_rows: int, itemsize: int, Kmax: int = 3
+    batch: int,
+    Np: int,
+    Mp_local: int,
+    group_rows: int,
+    itemsize: int,
+    Kmax: int = 3,
+    channels: int = 4,
 ) -> int:
     """Largest power-of-two block dividing the batch whose VMEM footprint
     fits (at Np=10240 streamed staging allows 256-row blocks where
@@ -307,30 +322,25 @@ def _pick_traj_block(
     while bb > 8 and batch % bb:
         bb //= 2
     while bb > 8:
-        if _block_footprint(bb, Np, Mp_local, group_rows, itemsize, Kmax) <= _VMEM_BUDGET:
+        if (
+            _block_footprint(bb, Np, Mp_local, group_rows, itemsize, Kmax, channels)
+            <= _VMEM_BUDGET
+        ):
             break
         bb //= 2
     return max(bb, 8)
 
 
 def make_single_device_runner(fa, zeta: float, ode, chunk_steps: int):
-    """Jitted ``(state, dev) -> state`` driving the shard-stream RHS at
+    """Jitted ``(state, dev) -> state`` driving the shard-stream step at
     S=1 on one device — the per-shard building block of the clause-mesh
     path, runnable (and benchmarkable) without a mesh. ``fa`` must come
     from :func:`compile_stream_sharded` with ``n_shards=1``."""
     plan = fa.shard_plan
     if plan is None or plan.n_shards != 1:
         raise ValueError("needs a compile_stream_sharded(n_shards=1) formula")
-    from odesat_tpu.models.ode import make_step_fn
 
-    rhs = make_stream_shard_rhs(plan, zeta, ode)
-
-    def derivs_fn(v, xs, xl, dev):
-        return rhs(
-            v, xs, xl, dev.planes[0], dev.span_lo[0], dev.span_bias[0], dev.clause_mask
-        )
-
-    step = make_step_fn(fa, zeta, ode, derivs_fn=derivs_fn)
+    step = make_fused_clause_step(fa, zeta, ode)
 
     def run_chunk(state, dev):
         def body(carry, _):
@@ -342,95 +352,106 @@ def make_single_device_runner(fa, zeta: float, ode, chunk_steps: int):
     return jax.jit(run_chunk, donate_argnums=0)
 
 
-def make_stream_shard_rhs(
-    plan: StreamShardPlan,
-    zeta: float,
-    ode,
-    interpret: bool | None = None,
-    traj_block: int | None = None,
-):
-    """Build ``rhs(v, xs, xl, planes, lo, bias, cmask) -> (dv, dxs, dxl,
-    allsat)`` for ONE shard's local clause slice (runs inside shard_map;
-    the caller psums dv and AND-reduces allsat over the clause axis).
+def _build_kernel(mode, span_meta, zeta_c, paper, mm_dtype, mm_precision, xl_cap):
+    """Span-streaming kernel body, shared across the three launch modes:
 
-    v: (B, Np) replicated over the clause axis; xs/xl: (B, Mp_local)
-    the local shard segment; planes/lo/bias: this shard's slices of the
-    plan arrays (leading shard axis already squeezed by shard_map).
+    * ``"rhs"``   — one RHS evaluation, derivatives out (the adaptive
+      integrator's first launch; also the parity-test surface).
+    * ``"fixed"`` — RHS + the clamped shard-local xs/xl Euler updates in
+      the epilogue (reference: src/system.rs:93-97; the updates are
+      per-clause local, so they need no collective — round-2 VERDICT
+      item 1). Only the v update (the one consumer of the psum'd dv)
+      stays in XLA.
+    * ``"second"``— the adaptive integrator's second evaluation: streams
+      the first launch's dxs/dxl back in, recomputes the half-step
+      state in-register (cheaper than round-tripping four extra (B, M)
+      arrays through HBM), evaluates the RHS at it, and emits the
+      final frozen/stepped xs/xl plus the shard-local inf-norm error.
+
+    Stream channels: 0/1 = xs/xl reads, ("second": 2/3 = dxs1/dxl1
+    reads), last two = writes. Read semaphore = channel*2 + slot; write
+    semaphore = (channel - first_write_channel)*2 + slot.
     """
-    if getattr(ode, "dtype", "float32") == "float64":
-        # f32 state + f32/bf16 MXU passes throughout; reject instead of
-        # silently downcasting (same policy as the other Pallas kernels)
-        raise ValueError(
-            "dtype='float64' is not supported by the clause-shard streaming "
-            "RHS; use the scan path (dv_strategy='segment_sum') for f64"
-        )
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    paper = ode.rigidity == "paper"
-    zeta_c = float(zeta)
-    bf16 = getattr(ode, "matmul_dtype", "float32") == "bfloat16"
-    mm_dtype = jnp.bfloat16 if bf16 else jnp.float32
-    mm_precision = None if bf16 else jax.lax.Precision.HIGHEST
-    itemsize = 2 if bf16 else 4
-
-    span_meta = plan.span_meta
     S_spans = len(span_meta)
-    Np = plan.n_vars_padded
-    Mp = plan.mp_local
-    Kmax = max(kb for _, kb, _, _ in span_meta)
-    R = plan.planes.shape[1]
+    n_read = 4 if mode == "second" else 2
+    wc0, wc1 = n_read, n_read + 1  # write channels
 
-    def kernel(lo_ref, v_ref, xs_ref, xl_ref, bias_ref, cmask_ref, g_ref,
-               dv_out, dxs_out, dxl_out, sat_out,
-               gbuf, iobuf, v16_ref, dv_ref, vals_ref, sat_ref,
-               gsem, rsem, wsem):
+    def kernel(lo_ref, *refs):
+        if mode == "rhs":
+            (v_ref, xs_ref, xl_ref, bias_ref, cmask_ref, g_ref,
+             dv_out, o0_out, o1_out, red_out,
+             gbuf, iobuf, v16_ref, dv_ref, vals_ref, red_ref,
+             gsem, rsem, wsem) = refs
+            streams = (xs_ref, xl_ref)
+            dt = adv = None
+        elif mode == "fixed":
+            (v_ref, dt_ref, xs_ref, xl_ref, bias_ref, cmask_ref, g_ref,
+             dv_out, o0_out, o1_out, red_out,
+             gbuf, iobuf, v16_ref, dv_ref, vals_ref, red_ref,
+             gsem, rsem, wsem) = refs
+            streams = (xs_ref, xl_ref)
+            dt = dt_ref[:]  # (Bb, 1), already zeroed for done trajectories
+            adv = None
+        else:
+            (v_ref, dt_ref, adv_ref, xs_ref, xl_ref, dxs1_ref, dxl1_ref,
+             bias_ref, cmask_ref, g_ref,
+             dv_out, o0_out, o1_out, red_out,
+             gbuf, iobuf, v16_ref, dv_ref, vals_ref, red_ref,
+             gsem, rsem, wsem) = refs
+            streams = (xs_ref, xl_ref, dxs1_ref, dxl1_ref)
+            dt = dt_ref[:]
+            adv = adv_ref[:]  # (Bb, 1) f32 advance flags
+
         i = pl.program_id(0)
         Bb = v_ref.shape[0]
         rows = pl.ds(i * Bb, Bb)
         v16_ref[:] = v_ref[:].astype(mm_dtype)
         dv_ref[:] = jnp.zeros_like(dv_ref)
-        sat_ref[:] = jnp.ones_like(sat_ref)
+        # reduction scratch: running sat-AND ("rhs"/"fixed") or running
+        # error max ("second")
+        red_ref[:] = (
+            jnp.zeros_like(red_ref) if mode == "second" else jnp.ones_like(red_ref)
+        )
 
-        # xs/xl live in HBM (ANY) and stream span-by-span through iobuf
-        # (channels 0/1 = xs/xl read stage, 2/3 = dxs/dxl write stage) —
-        # whole-block staging made VMEM xs/xl-dominated at large M and
-        # forced tiny trajectory blocks. Same double-buffered DMA pattern
-        # as ops/stream_pallas.py.
+        # clause-axis state lives in HBM (ANY) and streams span-by-span
+        # through iobuf — whole-block staging made VMEM clause-dominated
+        # at large M and forced tiny trajectory blocks. Same
+        # double-buffered DMA pattern as ops/stream_pallas.py.
         def g_dma(sp, slot):
             r0, kb, w, _ = span_meta[sp]
             return pltpu.make_async_copy(
                 g_ref.at[r0 : r0 + kb * w], gbuf.at[slot, : kb * w], gsem.at[slot]
             )
 
-        def read_dma(src, sp, slot, channel, sem_idx):
+        def read_dma(src, sp, slot, channel):
             c0 = span_meta[sp][3]
             return pltpu.make_async_copy(
                 src.at[rows, pl.ds(c0, SPAN)],
                 iobuf.at[slot, channel],
-                rsem.at[sem_idx],
+                rsem.at[channel * 2 + slot],
             )
 
-        def write_dma(dst, sp, slot, channel, sem_idx):
+        def write_dma(dst, sp, slot, channel):
             c0 = span_meta[sp][3]
             return pltpu.make_async_copy(
                 iobuf.at[slot, channel],
                 dst.at[rows, pl.ds(c0, SPAN)],
-                wsem.at[sem_idx],
+                wsem.at[(channel - wc0) * 2 + slot],
             )
 
         g_dma(0, 0).start()
-        read_dma(xs_ref, 0, 0, 0, 0).start()
-        read_dma(xl_ref, 0, 0, 1, 1).start()
+        for ch, src in enumerate(streams):
+            read_dma(src, 0, 0, ch).start()
         for sp in range(S_spans):
             slot = sp % 2
             if sp + 1 < S_spans:
                 nslot = (sp + 1) % 2
                 g_dma(sp + 1, nslot).start()
-                read_dma(xs_ref, sp + 1, nslot, 0, 2 + nslot * 2).start()
-                read_dma(xl_ref, sp + 1, nslot, 1, 3 + nslot * 2).start()
+                for ch, src in enumerate(streams):
+                    read_dma(src, sp + 1, nslot, ch).start()
             g_dma(sp, slot).wait()
-            read_dma(xs_ref, sp, slot, 0, 0 if sp == 0 else 2 + slot * 2).wait()
-            read_dma(xl_ref, sp, slot, 1, 1 if sp == 0 else 3 + slot * 2).wait()
+            for ch, src in enumerate(streams):
+                read_dma(src, sp, slot, ch).wait()
             r0, kb, w, c0 = span_meta[sp]
             # window offsets are 128-aligned by construction; Mosaic
             # needs the hint to allow the dynamic lane slice
@@ -438,6 +459,15 @@ def make_stream_shard_rhs(
             vwin = v16_ref[:, pl.ds(lo, w)]
             xs = iobuf[slot, 0]
             xl = iobuf[slot, 1]
+            if mode == "second":
+                # recompute the half-step clause state in-register from
+                # the first launch's derivatives (src/system.rs:111-139)
+                half = 0.5 * dt
+                xs0, xl0 = xs, xl
+                dxs1 = iobuf[slot, 2]
+                dxl1 = iobuf[slot, 3]
+                xs = jnp.fmin(jnp.fmax(xs0 + half * dxs1, EPSILON), 1.0 - EPSILON)
+                xl = jnp.fmin(jnp.fmax(xl0 + half * dxl1, 1.0), xl_cap)
 
             m1 = m2 = None
             for k in range(kb):
@@ -482,32 +512,102 @@ def make_stream_shard_rhs(
 
             cmask = cmask_ref[:, c0 : c0 + SPAN]
             if sp >= 2:
-                write_dma(dxs_out, sp - 2, slot, 2, slot * 2).wait()
-                write_dma(dxl_out, sp - 2, slot, 3, 1 + slot * 2).wait()
-            iobuf[slot, 2] = BETA * (xs + EPSILON) * (c - GAMMA) * cmask
-            iobuf[slot, 3] = ALPHA * (c - DELTA) * cmask
-            write_dma(dxs_out, sp, slot, 2, slot * 2).start()
-            write_dma(dxl_out, sp, slot, 3, 1 + slot * 2).start()
-            sat_ref[:] = jnp.minimum(
-                sat_ref[:],
-                jnp.min(
-                    jnp.where(cmask > 0, (c < GAMMA).astype(jnp.float32), 1.0),
-                    axis=1,
-                    keepdims=True,
-                ),
-            )
+                write_dma(o0_out, sp - 2, slot, wc0).wait()
+                write_dma(o1_out, sp - 2, slot, wc1).wait()
+            dxs = BETA * (xs + EPSILON) * (c - GAMMA) * cmask
+            dxl = ALPHA * (c - DELTA) * cmask
+            if mode == "rhs":
+                iobuf[slot, wc0] = dxs
+                iobuf[slot, wc1] = dxl
+            elif mode == "fixed":
+                # clamped Euler epilogue (src/system.rs:93-97); dt is 0
+                # for done trajectories, and the clamps are idempotent on
+                # in-range state, so frozen rows pass through unchanged
+                iobuf[slot, wc0] = jnp.fmin(
+                    jnp.fmax(xs + dt * dxs, EPSILON), 1.0 - EPSILON
+                )
+                iobuf[slot, wc1] = jnp.fmin(jnp.fmax(xl + dt * dxl, 1.0), xl_cap)
+            else:
+                # two-half-step result, full-step trial, inf-norm error
+                txs = jnp.fmin(jnp.fmax(xs + half * dxs, EPSILON), 1.0 - EPSILON)
+                txl = jnp.fmin(jnp.fmax(xl + half * dxl, 1.0), xl_cap)
+                fxs = jnp.fmin(jnp.fmax(xs0 + dt * dxs1, EPSILON), 1.0 - EPSILON)
+                fxl = jnp.fmin(jnp.fmax(xl0 + dt * dxl1, 1.0), xl_cap)
+                red_ref[:] = jnp.maximum(
+                    red_ref[:],
+                    jnp.maximum(
+                        jnp.max(jnp.abs(fxs - txs), axis=1, keepdims=True),
+                        jnp.max(jnp.abs(fxl - txl), axis=1, keepdims=True),
+                    ),
+                )
+                keep = adv > 0.0
+                iobuf[slot, wc0] = jnp.where(keep, txs, xs0)
+                iobuf[slot, wc1] = jnp.where(keep, txl, xl0)
+            write_dma(o0_out, sp, slot, wc0).start()
+            write_dma(o1_out, sp, slot, wc1).start()
+            if mode != "second":
+                red_ref[:] = jnp.minimum(
+                    red_ref[:],
+                    jnp.min(
+                        jnp.where(cmask > 0, (c < GAMMA).astype(jnp.float32), 1.0),
+                        axis=1,
+                        keepdims=True,
+                    ),
+                )
         for sp in (S_spans - 2, S_spans - 1):
             if sp >= 0:
                 slot = sp % 2
-                write_dma(dxs_out, sp, slot, 2, slot * 2).wait()
-                write_dma(dxl_out, sp, slot, 3, 1 + slot * 2).wait()
+                write_dma(o0_out, sp, slot, wc0).wait()
+                write_dma(o1_out, sp, slot, wc1).wait()
         dv_out[:] = dv_ref[:]
-        sat_out[:] = sat_ref[:]
+        red_out[:] = red_ref[:]
 
-    def rhs(v, xs, xl, planes, lo, bias, cmask):
+    return kernel
+
+
+def _make_shard_call(
+    mode,
+    plan: StreamShardPlan,
+    zeta: float,
+    ode,
+    interpret: bool | None = None,
+    traj_block: int | None = None,
+    xl_cap: float | None = None,
+):
+    """Wrap :func:`_build_kernel` in a pallas_call with the mode's
+    input/output plumbing. Returns a callable taking the mode's
+    positional arrays (see the per-mode wrappers below)."""
+    if getattr(ode, "dtype", "float32") == "float64":
+        # f32 state + f32/bf16 MXU passes throughout; reject instead of
+        # silently downcasting (same policy as the other Pallas kernels)
+        raise ValueError(
+            "dtype='float64' is not supported by the clause-shard streaming "
+            "kernels; use the scan path (dv_strategy='segment_sum') for f64"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    paper = ode.rigidity == "paper"
+    zeta_c = float(zeta)
+    bf16 = getattr(ode, "matmul_dtype", "float32") == "bfloat16"
+    mm_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    mm_precision = None if bf16 else jax.lax.Precision.HIGHEST
+    itemsize = 2 if bf16 else 4
+
+    span_meta = plan.span_meta
+    Np = plan.n_vars_padded
+    Mp = plan.mp_local
+    Kmax = max(kb for _, kb, _, _ in span_meta)
+    R = plan.planes.shape[1]
+    n_read = 4 if mode == "second" else 2
+    channels = n_read + 2
+    n_scalar_rows = {"rhs": 0, "fixed": 1, "second": 2}[mode]
+
+    kernel = _build_kernel(mode, span_meta, zeta_c, paper, mm_dtype, mm_precision, xl_cap)
+
+    def call(v, scalar_rows, stream_ins, planes, lo, bias, cmask):
         B = v.shape[0]
         Bb = traj_block or _pick_traj_block(
-            B, Np, Mp, plan.max_group_rows, itemsize, Kmax
+            B, Np, Mp, plan.max_group_rows, itemsize, Kmax, channels
         )
         while Bb > 8 and B % Bb:
             Bb //= 2
@@ -517,7 +617,7 @@ def make_stream_shard_rhs(
             # block — but only if its scratch actually fits (a large odd
             # batch at big Np would blow VMEM; ask for a divisible batch)
             if (
-                _block_footprint(B, Np, Mp, plan.max_group_rows, itemsize, Kmax)
+                _block_footprint(B, Np, Mp, plan.max_group_rows, itemsize, Kmax, channels)
                 > _VMEM_BUDGET
             ):
                 raise ValueError(
@@ -540,31 +640,31 @@ def make_stream_shard_rhs(
             grid=grid,
             in_specs=[
                 row_blk((Bb, Np)),
-                any_spec,  # xs: span-streamed from HBM
-                any_spec,  # xl
+                *([row_blk((Bb, 1))] * n_scalar_rows),  # dt (+ advance)
+                *([any_spec] * n_read),  # clause-axis state: span-streamed
                 const_blk(bias.shape),
                 const_blk((1, Mp)),
                 any_spec,  # planes
             ],
             out_specs=[
                 row_blk((Bb, Np)),
-                any_spec,  # dxs: span-streamed to HBM
-                any_spec,  # dxl
-                row_blk((Bb, 1)),
+                any_spec,  # span-streamed clause-axis output
+                any_spec,
+                row_blk((Bb, 1)),  # sat ("rhs"/"fixed") or error ("second")
             ],
             scratch_shapes=[
                 pltpu.VMEM((2, plan.max_group_rows, SPAN), mm_dtype),
-                pltpu.VMEM((2, 4, Bb, SPAN), jnp.float32),  # xs/xl/dxs/dxl stage
+                pltpu.VMEM((2, channels, Bb, SPAN), jnp.float32),
                 pltpu.VMEM((Bb, Np), mm_dtype),
                 pltpu.VMEM((Bb, Np), jnp.float32),
                 pltpu.VMEM((Kmax, Bb, SPAN), jnp.float32),
                 pltpu.VMEM((Bb, 1), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((6,)),  # span reads
+                pltpu.SemaphoreType.DMA((2 * n_read,)),  # span reads
                 pltpu.SemaphoreType.DMA((4,)),  # span writes
             ],
         )
-        dv, dxs, dxl, sat = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
@@ -580,18 +680,145 @@ def make_stream_shard_rhs(
             ),
             cost_estimate=pl.CostEstimate(
                 flops=4 * B * R * SPAN,
-                bytes_accessed=(B // Bb) * R * SPAN * itemsize + 4 * B * Mp * 4,
+                bytes_accessed=(B // Bb) * R * SPAN * itemsize
+                + (n_read + 2) * B * Mp * 4,
                 transcendentals=0,
             ),
         )(
             lo,
             v.astype(jnp.float32),
-            xs,
-            xl,
+            *scalar_rows,
+            *stream_ins,
             bias,
             cmask.reshape(1, Mp).astype(jnp.float32),
             planes.astype(mm_dtype),
         )
-        return dv, dxs, dxl, sat.reshape(B) > 0.5
+
+    return call
+
+
+def make_stream_shard_rhs(
+    plan: StreamShardPlan,
+    zeta: float,
+    ode,
+    interpret: bool | None = None,
+    traj_block: int | None = None,
+):
+    """Build ``rhs(v, xs, xl, planes, lo, bias, cmask) -> (dv, dxs, dxl,
+    allsat)`` for ONE shard's local clause slice (runs inside shard_map;
+    the caller psums dv and AND-reduces allsat over the clause axis).
+
+    v: (B, Np) replicated over the clause axis; xs/xl: (B, Mp_local)
+    the local shard segment; planes/lo/bias: this shard's slices of the
+    plan arrays (leading shard axis already squeezed by shard_map).
+    """
+    call = _make_shard_call(mode="rhs", plan=plan, zeta=zeta, ode=ode,
+                            interpret=interpret, traj_block=traj_block)
+
+    def rhs(v, xs, xl, planes, lo, bias, cmask):
+        dv, dxs, dxl, sat = call(v, (), (xs, xl), planes, lo, bias, cmask)
+        return dv, dxs, dxl, sat.reshape(v.shape[0]) > 0.5
 
     return rhs
+
+
+def make_fused_clause_step(
+    fa,
+    zeta: float,
+    ode,
+    clause_axis: str | None = None,
+    interpret: bool | None = None,
+    traj_block: int | None = None,
+):
+    """Build ``step(state, dev) -> state`` with the shard-local clamped
+    xs/xl updates fused into the kernel epilogue — only the v update
+    (the one consumer of the psum'd dv) and the (B,)-sized dt/done
+    bookkeeping run in XLA. The per-clause independence that makes dv a
+    pure segment-sum + all-reduce (reference walk: src/system.rs:35-90)
+    makes the xs/xl memory updates entirely shard-local, so they never
+    need to round-trip through XLA between kernel launches.
+
+    Fixed mode is ONE launch per step (RHS + update); adaptive mode is
+    two (the full-step derivatives, then the second evaluation at the
+    half step) with the dv psum between them — the minimum without
+    in-kernel ICI collectives. Integrator semantics match
+    models/ode.py:make_step_fn exactly (freeze, no-advance-on-allsat,
+    step-doubling error, dt clip)."""
+    from odesat_tpu.constants import DT_MAX, DT_MIN, XL_CAP_PER_CLAUSE
+    from odesat_tpu.models.ode import ODEState
+
+    plan = fa.shard_plan
+    if plan is None:
+        raise ValueError("needs a compile_stream_sharded formula (shard plan)")
+    xl_cap = XL_CAP_PER_CLAUSE * fa.n_clauses  # real clause count (src/system.rs:95)
+
+    def reduce_dv_sat(dv, sat):
+        allsat = sat.reshape(-1) > 0.5
+        if clause_axis is not None:
+            dv = jax.lax.psum(dv, clause_axis)
+            allsat = jax.lax.psum((~allsat).astype(jnp.int32), clause_axis) == 0
+        return dv, allsat
+
+    if ode.step_size is not None:
+        dt_fixed = float(ode.step_size)
+        fixed_call = _make_shard_call(
+            mode="fixed", plan=plan, zeta=zeta, ode=ode, interpret=interpret,
+            traj_block=traj_block, xl_cap=xl_cap,
+        )
+
+        def step(state, dev):
+            dt_eff = jnp.where(state.done, 0.0, dt_fixed).astype(state.v.dtype)
+            dv, xs2, xl2, sat = fixed_call(
+                state.v, (dt_eff[:, None],), (state.xs, state.xl),
+                dev.planes[0], dev.span_lo[0], dev.span_bias[0], dev.clause_mask,
+            )
+            dv, allsat = reduce_dv_sat(dv, sat)
+            v2 = jnp.fmin(jnp.fmax(state.v + dt_eff[:, None] * dv, -1.0), 1.0)
+            return ODEState(v2, xs2, xl2, state.dt, state.done | allsat)
+
+    else:
+        tol = float(ode.tolerance)
+        rhs_call = _make_shard_call(
+            mode="rhs", plan=plan, zeta=zeta, ode=ode, interpret=interpret,
+            traj_block=traj_block,
+        )
+        second_call = _make_shard_call(
+            mode="second", plan=plan, zeta=zeta, ode=ode, interpret=interpret,
+            traj_block=traj_block, xl_cap=xl_cap,
+        )
+
+        def step(state, dev):
+            args = (dev.planes[0], dev.span_lo[0], dev.span_bias[0], dev.clause_mask)
+            dv1, dxs1, dxl1, sat = rhs_call(
+                state.v, (), (state.xs, state.xl), *args
+            )
+            dv1, allsat = reduce_dv_sat(dv1, sat)
+            advance = ~state.done & ~allsat  # src/system.rs:122
+            dt = state.dt
+            dt_c = dt[:, None]
+            half = 0.5 * dt_c
+            fv = jnp.fmin(jnp.fmax(state.v + dt_c * dv1, -1.0), 1.0)
+            hv = jnp.fmin(jnp.fmax(state.v + half * dv1, -1.0), 1.0)
+            dv2, xs_fin, xl_fin, err_sl = second_call(
+                hv,
+                (dt_c, advance.astype(jnp.float32)[:, None]),
+                (state.xs, state.xl, dxs1, dxl1),
+                *args,
+            )
+            if clause_axis is not None:
+                dv2 = jax.lax.psum(dv2, clause_axis)
+            tv = jnp.fmin(jnp.fmax(hv + half * dv2, -1.0), 1.0)
+            err = jnp.maximum(
+                err_sl.reshape(-1), jnp.max(jnp.abs(fv - tv), axis=-1)
+            )
+            if clause_axis is not None:
+                err = jax.lax.pmax(err, clause_axis)
+            # err == 0 -> dt hits the ceiling (src/system.rs:132-135)
+            new_dt = jnp.clip(
+                dt * jnp.sqrt(tol / jnp.maximum(err, 1e-30)), DT_MIN, DT_MAX
+            )
+            v_fin = jnp.where(advance[:, None], tv, state.v)
+            dt_fin = jnp.where(advance, new_dt, dt)
+            return ODEState(v_fin, xs_fin, xl_fin, dt_fin, state.done | allsat)
+
+    return step

@@ -147,12 +147,13 @@ def make_sharded_chunk_runner(
             "use dv_strategy='auto'/'stream' or a trajectory-only mesh"
         )
 
-    derivs_fn = None
+    fused_step = None
     if clause_axis is not None and ode.dv_strategy in ("auto", "stream"):
-        # clause-sharded streaming kernel: per-shard windowed-plane RHS
-        # (ops/shard_stream.py), dv psum'd over the axis by make_step_fn
+        # clause-sharded streaming kernel with in-kernel xs/xl Euler
+        # updates (ops/shard_stream.py); only the v update consumes the
+        # psum'd dv in XLA
         from odesat_tpu.ops.shard_stream import (
-            make_stream_shard_rhs,
+            make_fused_clause_step,
             stream_shard_supported,
         )
 
@@ -165,6 +166,22 @@ def make_sharded_chunk_runner(
             and not shared_adaptive
             and stream_shard_supported(fa, plan, itemsize)
         )
+        if plan is not None and not eligible:
+            # a shard-plan layout can only run on the kernel — its
+            # multi-segment bucket slices would strand the scan fallback
+            # on a confusing bucket error; name the real mismatch instead
+            why = (
+                f"dtype={ode.dtype!r}" if ode.dtype != "float32"
+                else "dt_mode='shared' with the adaptive integrator" if shared_adaptive
+                else f"plan has {plan.n_shards} shards but the mesh {n_clause}"
+                if plan.n_shards != n_clause
+                else "the formula exceeds the kernel's VMEM/HBM budget"
+            )
+            raise ValueError(
+                "this formula was compiled with a clause-shard plan but the "
+                f"run config is ineligible for the streaming kernel ({why}); "
+                "recompile via compile_for_mesh with the run-time config"
+            )
         if ode.dv_strategy == "stream" and not eligible:
             raise ValueError(
                 "dv_strategy='stream' on a clause mesh needs a formula "
@@ -172,18 +189,7 @@ def make_sharded_chunk_runner(
                 "no unit clauses, dtype=float32, per-trajectory dt"
             )
         if eligible:
-            rhs = make_stream_shard_rhs(plan, zeta, ode)
-
-            def derivs_fn(v, xs, xl, dev):
-                return rhs(
-                    v,
-                    xs,
-                    xl,
-                    dev.planes[0],
-                    dev.span_lo[0],
-                    dev.span_bias[0],
-                    dev.clause_mask,
-                )
+            fused_step = make_fused_clause_step(fa, zeta, ode, clause_axis="clause")
 
     if (
         clause_axis is None
@@ -218,13 +224,12 @@ def make_sharded_chunk_runner(
 
     # traj_axis only matters inside shard_map for dt_mode="shared" (the
     # GSPMD jit path below reduces over the global batch automatically)
-    step = make_step_fn(
+    step = fused_step or make_step_fn(
         fa,
         zeta,
         ode,
         clause_axis=clause_axis,
         traj_axis="traj" if clause_axis is not None else None,
-        derivs_fn=derivs_fn,
     )
 
     def run_chunk(state: ODEState, dev: FormulaDevice) -> ODEState:
@@ -251,8 +256,8 @@ def make_sharded_chunk_runner(
         mesh=mesh,
         in_specs=(STATE_SPECS, dspecs),
         out_specs=STATE_SPECS,
-        # the Pallas RHS outputs carry no varying-mesh-axes info
-        check_vma=derivs_fn is None,
+        # the Pallas kernel outputs carry no varying-mesh-axes info
+        check_vma=fused_step is None,
     )
     return jax.jit(sharded, donate_argnums=0)
 

