@@ -49,9 +49,10 @@ def hybrid_search(
     reaches allsat, the per-engine step budget runs out, or the
     wall-clock budget expires.
 
-    ``mesh``: a trajectory-only mesh shards both engines' batches as
-    pure DP (the stochastic engine has no clause-sharded path, so a
-    clause axis > 1 raises).
+    ``mesh``: a ('traj', 'clause') mesh shards both engines' batches
+    over the trajectory axis; a non-trivial clause axis shards the
+    incidence arrays of both engines (the ODE's streaming kernel plan
+    and the stoch engine's psum'd weight sums).
 
     Ops parity with the single-engine loops: ``checkpoint_path`` +
     ``checkpoint_every_chunks`` snapshot BOTH engine states into one
@@ -62,6 +63,13 @@ def hybrid_search(
     config = config or SolverConfig()
     if isinstance(formula_or_arrays, FormulaArrays):
         fa = formula_or_arrays
+    elif mesh is not None:
+        # mesh-aware compile: clause-axis padding and (for clause
+        # shards) the ODE streaming kernel's shard plan; the stoch
+        # engine runs the same layout (an ordinary FormulaArrays)
+        from odesat_tpu.parallel.sharded import compile_for_mesh
+
+        fa = compile_for_mesh(formula_or_arrays, config, mesh)
     else:
         fa = compile_formula(
             formula_or_arrays,
@@ -128,12 +136,6 @@ def hybrid_search(
             shard_stoch_inputs,
         )
 
-        if mesh.shape.get("clause", 1) > 1:
-            raise ValueError(
-                "hybrid mode supports trajectory sharding only (the "
-                "stochastic engine has no clause-sharded path); use a "
-                "(n, 1) mesh"
-            )
         n_traj = mesh.shape["traj"]
         if config.batch_size % n_traj:
             raise ValueError(

@@ -119,6 +119,72 @@ def make_stoch_step(fa: FormulaArrays):
     return step
 
 
+def make_stoch_clause_step(clause_axis: str):
+    """Clause-sharded stoch step ``step(state, dev) -> state``: runs
+    inside shard_map with the incidence arrays (a FormulaDevice) and
+    ``xl`` sharded over ``clause_axis``. The per-variable weight sums
+    (reference: src/stoch.rs:53-59) are local segment-sums over this
+    shard's clauses, psum-reduced over the axis — the same collective
+    plumbing as the ODE engine's dv — and the all-sat flag is an
+    AND-reduce. The PRNG key is replicated over the clause axis, so
+    every shard draws identical flips and v stays consistent.
+
+    The weight sums are integer-valued (int32 weights in [1, 2**24])
+    accumulated in f32, so shard-local summation order cannot perturb
+    the flip comparisons until a variable's total weight exceeds 2**24
+    — the same exactness envelope as the single-device gather path.
+    """
+
+    def step(state: StochState, dev) -> StochState:
+        key, sub = jax.random.split(state.key)
+        lit_var = dev.lit_var  # (K, M_local)
+        pos = dev.sign > 0
+        lit_mask = dev.lit_mask > 0
+        clause_mask = dev.clause_mask > 0
+        B, Np = state.v.shape
+        K, M = lit_var.shape
+
+        lit_true = state.v[:, lit_var] == pos  # (B, K, M)
+        sat = jnp.any(lit_true & lit_mask, axis=-2)  # (B, M)
+
+        xl = jnp.where(
+            sat,
+            jnp.maximum(state.xl - 1, 1),
+            jnp.minimum(state.xl + STOCH_ALPHA, XL_CAP),
+        )
+        xl = jnp.where(clause_mask, xl, 0)
+
+        xl_f = xl.astype(jnp.float32)
+        w_lit = jnp.broadcast_to(xl_f[:, None, :], (B, K, M)) * lit_mask
+        u_lit = jnp.broadcast_to(
+            (xl_f * (~sat))[:, None, :], (B, K, M)
+        ) * lit_mask
+        ids = lit_var.reshape(-1)
+        total = jax.ops.segment_sum(
+            w_lit.reshape(B, K * M).swapaxes(0, 1), ids, num_segments=Np
+        ).swapaxes(0, 1)
+        unsat_w = jax.ops.segment_sum(
+            u_lit.reshape(B, K * M).swapaxes(0, 1), ids, num_segments=Np
+        ).swapaxes(0, 1)
+        total = jax.lax.psum(total, clause_axis)
+        unsat_w = jax.lax.psum(unsat_w, clause_axis)
+
+        u = jax.random.uniform(sub, (B, Np), dtype=jnp.float32)
+        # total == 0 for variables in no (real) clause: 0 < 0 never flips
+        flip = u * total < unsat_w
+
+        local_all = jnp.all(sat | ~clause_mask, axis=-1)
+        all_sat = jax.lax.psum((~local_all).astype(jnp.int32), clause_axis) == 0
+
+        active = ~state.done
+        v = jnp.where(active[:, None] & flip, ~state.v, state.v)
+        xl = jnp.where(active[:, None], xl, state.xl)
+        done = state.done | all_sat
+        return StochState(v, xl, done, key)
+
+    return step
+
+
 def make_stoch_chunk_runner(
     fa: FormulaArrays,
     chunk_steps: int,
@@ -183,19 +249,23 @@ def search(
     ``checkpoint_path`` + ``checkpoint_every_chunks`` StochState
     snapshots, ``log_every_chunks`` progress metrics, ``profile_dir``.
 
-    ``mesh``: a trajectory-only ('traj', 'clause'=1) jax Mesh shards the
-    chain batch as pure data parallelism, one PRNG key per device
-    (parallel/sharded.make_sharded_stoch_runner); clause shards raise —
-    chains are cheap per-clause, there is nothing to shard. The sharded
-    PRNG stream differs from the single-device stream for the same seed
-    (per-device key splits); runs are reproducible per (seed, mesh)."""
+    ``mesh``: a ('traj', 'clause') jax Mesh. The trajectory axis shards
+    the chain batch as pure data parallelism, one PRNG key per traj
+    device (parallel/sharded.make_sharded_stoch_runner); a non-trivial
+    clause axis shards the incidence/weight arrays for CNFs too big for
+    one chip, with the per-variable weight sums psum-reduced over it.
+    The sharded PRNG stream differs from the single-device stream for
+    the same seed (per-device key splits); runs are reproducible per
+    (seed, mesh traj width)."""
     config = config or SolverConfig()
+    n_clause = mesh.shape.get("clause", 1) if mesh is not None else 1
     fa = (
         formula_or_arrays
         if isinstance(formula_or_arrays, FormulaArrays)
         else compile_formula(
             formula_or_arrays,
-            clause_pad=config.clause_pad,
+            # the clause axis must divide evenly across the mesh
+            clause_pad=config.clause_pad * n_clause,
             var_pad=config.var_pad,
             window_sort=config.window_sort,
         )
@@ -211,10 +281,11 @@ def search(
         )
 
         n_traj = mesh.shape.get("traj", 1)
-        if mesh.shape.get("clause", 1) > 1:
+        if n_clause > 1 and fa.n_clauses_padded % n_clause:
             raise ValueError(
-                "the stochastic engine supports trajectory sharding only; "
-                "use a (n, 1) mesh"
+                f"the padded clause axis ({fa.n_clauses_padded}) does not "
+                f"divide across {n_clause} clause devices; recompile with a "
+                "mesh-compatible clause_pad"
             )
         if config.batch_size % n_traj:
             raise ValueError(

@@ -271,16 +271,53 @@ def make_sharded_stoch_runner(
     pull. The sharded state's ``key`` leading axis is the device axis
     ((n_traj, 2) keys from jax.random.split), NOT a batch axis.
 
-    Reference anchor: per-step chain independence, src/stoch.rs:26-78.
+    With a non-trivial clause axis the incidence arrays and xl shard
+    over it; the per-variable weight sums are psum-reduced and all-sat
+    AND-reduced inside shard_map (models/stoch.make_stoch_clause_step)
+    — the clause axis exists for CNFs whose incidence/weight arrays
+    exceed one chip, and those formulas get the stoch engine too
+    (round-2 VERDICT item 2).
+
+    Reference anchor: per-step chain independence, src/stoch.rs:26-78;
+    the weight sums, src/stoch.rs:53-59.
     """
-    from odesat_tpu.models.stoch import StochState, make_stoch_chunk_runner
+    from odesat_tpu.models.stoch import (
+        StochState,
+        make_stoch_chunk_runner,
+        make_stoch_clause_step,
+    )
 
     if mesh.shape.get("clause", 1) > 1:
-        raise ValueError(
-            "the stochastic engine supports trajectory sharding only; "
-            "use a (n, 1) mesh (its per-variable weight sums are cheap — "
-            "clause sharding has nothing to win)"
+        from odesat_tpu.models.ode import formula_device
+
+        step = make_stoch_clause_step("clause")
+        specs = StochState(
+            v=P("traj"), xl=P("traj", "clause"), done=P("traj"), key=P("traj")
         )
+        dspecs = _dev_specs(False)
+
+        def local(state: StochState, dev: FormulaDevice) -> StochState:
+            st = StochState(state.v, state.xl, state.done, state.key[0])
+
+            def body(carry, _):
+                return step(carry, dev), None
+
+            out, _ = jax.lax.scan(body, st, None, length=chunk_steps)
+            return StochState(out.v, out.xl, out.done, out.key[None])
+
+        sharded = shard_map(
+            local, mesh=mesh, in_specs=(specs, dspecs), out_specs=specs
+        )
+        jitted = jax.jit(sharded, donate_argnums=0)
+        dev = formula_device(fa)
+        dev = FormulaDevice(*dev[:6], planes=None, span_lo=None, span_bias=None)
+        dev = jax.tree.map(
+            lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
+            dev,
+            dspecs,
+        )
+        return lambda state: jitted(state, dev)
+
     inner = make_stoch_chunk_runner(
         fa, chunk_steps, matmul_dtype=matmul_dtype, donate=False
     )
@@ -302,10 +339,12 @@ def make_sharded_stoch_runner(
 
 
 def shard_stoch_inputs(state, mesh: Mesh):
-    """Lay a StochState (with (n_traj, 2) per-device keys) out on the mesh."""
+    """Lay a StochState (with (n_traj, 2) per-device keys) out on the
+    mesh; the clause weights shard over a non-trivial clause axis."""
     from odesat_tpu.models.stoch import StochState
 
-    specs = StochState(v=P("traj"), xl=P("traj"), done=P("traj"), key=P("traj"))
+    xl_spec = P("traj", "clause") if mesh.shape.get("clause", 1) > 1 else P("traj")
+    specs = StochState(v=P("traj"), xl=xl_spec, done=P("traj"), key=P("traj"))
     return jax.tree.map(
         lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)), state, specs
     )

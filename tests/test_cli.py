@@ -351,25 +351,30 @@ def test_cli_stoch_devices_changes_behavior(data_dir, tmp_path):
     assert outs[0] != outs[1]
 
 
-def test_cli_stoch_rejects_clause_shards(data_dir, capsys):
-    with pytest.raises(SystemExit) as exc:
-        main(
-            [
-                "stoch",
-                "-f",
-                os.path.join(data_dir, "hard.cnf"),
-                "-n",
-                "32",
-                "-b",
-                "8",
-                "--devices",
-                "4",
-                "--clause-shards",
-                "2",
-            ]
-        )
-    assert exc.value.code == 2
-    assert "trajectory sharding only" in capsys.readouterr().err
+def test_cli_stoch_with_clause_shards(data_dir, capsys):
+    """Clause-sharded stoch reachable from the CLI (round-2 VERDICT
+    item 2: the clause axis exists for huge CNFs, and those get the
+    stoch engine too)."""
+    rc = main(
+        [
+            "stoch",
+            "-f",
+            os.path.join(data_dir, "hard.cnf"),
+            "-n",
+            "32",
+            "-b",
+            "8",
+            "--seed",
+            "0",
+            "--devices",
+            "4",
+            "--clause-shards",
+            "2",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Checking if solution vector satisfies formula:" in out
 
 
 def test_cli_hybrid_with_devices(data_dir, capsys):

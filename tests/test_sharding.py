@@ -299,19 +299,78 @@ def test_stoch_sharded_matches_per_slice_runs(data_dir):
         )
 
 
-def test_stoch_sharded_rejects_clause_axis(data_dir):
+def test_stoch_clause_sharded_matches_traj_only(data_dir):
+    """The clause-sharded stoch path (weight sums psum'd over the axis,
+    replicated PRNG key per traj device) must match the traj-only scan
+    path chain for chain: same per-device keys => identical flips
+    (round-2 VERDICT item 2). Weight sums are integer-valued, so the
+    comparison is exact."""
     from odesat_tpu.cnf import compile_formula as _cf
     from odesat_tpu.cnf import normalize_cnf_variables as _norm
     from odesat_tpu.cnf import parse_dimacs_file
-    from odesat_tpu.parallel.sharded import make_sharded_stoch_runner
+    from odesat_tpu.models.stoch import StochState, init_stoch_state
+    from odesat_tpu.parallel.sharded import (
+        make_sharded_stoch_runner,
+        shard_stoch_inputs,
+    )
 
     formula = parse_dimacs_file(os.path.join(data_dir, "hard.cnf"))
     _, normalized = _norm(formula)
-    fa = _cf(normalized)
-    import pytest
+    fa = _cf(normalized, clause_pad=8)
+    assert fa.n_clauses_padded % 4 == 0
 
-    with pytest.raises(ValueError, match="trajectory sharding only"):
-        make_sharded_stoch_runner(fa, 8, make_mesh(4, 2))
+    key = jax.random.PRNGKey(7)
+    base = init_stoch_state(fa, 8, key)
+    keys = jax.random.split(key, 2)  # one per traj device, both meshes
+
+    mesh_cl = make_mesh(2, 4)
+    st1 = shard_stoch_inputs(StochState(base.v, base.xl, base.done, keys), mesh_cl)
+    out1 = make_sharded_stoch_runner(fa, 12, mesh_cl)(st1)
+
+    mesh_tr = make_mesh(2, 1, devices=jax.devices()[:2])
+    st2 = shard_stoch_inputs(StochState(base.v, base.xl, base.done, keys), mesh_tr)
+    out2 = make_sharded_stoch_runner(fa, 12, mesh_tr)(st2)
+
+    np.testing.assert_array_equal(np.asarray(out1.v), np.asarray(out2.v))
+    np.testing.assert_array_equal(np.asarray(out1.xl), np.asarray(out2.xl))
+    np.testing.assert_array_equal(np.asarray(out1.done), np.asarray(out2.done))
+
+
+def test_stoch_search_on_clause_mesh(data_dir):
+    """End-to-end search() over a clause mesh solves a small instance."""
+    from odesat_tpu.cnf import normalize_cnf_variables as _norm
+    from odesat_tpu.cnf import parse_dimacs_file
+    from odesat_tpu.models.stoch import search
+
+    formula = parse_dimacs_file(os.path.join(data_dir, "small.cnf"))
+    _, normalized = _norm(formula)
+    config = SolverConfig(
+        ode=ODEConfig(steps=3000), batch_size=8, seed=1, chunk_steps=64
+    )
+    result = search(normalized, config, mesh=make_mesh(2, 4))
+    assert result.solved_index is not None
+    from odesat_tpu.cnf import evaluate_cnf
+
+    values = {i + 1: bool(b) for i, b in enumerate(result.best_assignment())}
+    assert evaluate_cnf(values, normalized)
+
+
+def test_hybrid_on_clause_mesh(data_dir):
+    """hybrid_search accepts clause meshes: both engines race with the
+    incidence sharded over the clause axis (round-2 VERDICT item 2)."""
+    from odesat_tpu.cnf import normalize_cnf_variables as _norm
+    from odesat_tpu.cnf import parse_dimacs_file
+    from odesat_tpu.models.hybrid import hybrid_search
+
+    formula = parse_dimacs_file(os.path.join(data_dir, "small.cnf"))
+    _, normalized = _norm(formula)
+    config = SolverConfig(
+        ode=ODEConfig(step_size=0.01, steps=800), batch_size=16, seed=0,
+        chunk_steps=64,
+    )
+    result = hybrid_search(normalized, config, mesh=make_mesh(4, 2))
+    assert result.solved
+    assert result.engine in ("ode", "stoch")
 
 
 def test_hybrid_sharded_runs(data_dir):
