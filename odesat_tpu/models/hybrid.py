@@ -217,7 +217,9 @@ def hybrid_search(
                 from odesat_tpu.utils.checkpoint import save_hybrid_state
 
                 save_hybrid_state(config.checkpoint_path, ode_state, stoch_state, steps)
-            ode_done = np.asarray(ode_state.done)
+            from odesat_tpu.parallel.dist import fetch
+
+            ode_done = fetch(ode_state.done)
             if ode_done.any():
                 idx = int(np.flatnonzero(ode_done)[0])
                 return HybridResult(
@@ -227,12 +229,12 @@ def hybrid_search(
                     steps=steps,
                     wall_time_s=time.perf_counter() - t0,
                 )
-            stoch_done = np.asarray(stoch_state.done)
+            stoch_done = fetch(stoch_state.done)
             if stoch_done.any():
                 idx = int(np.flatnonzero(stoch_done)[0])
                 return HybridResult(
                     engine="stoch",
-                    assignment=np.asarray(stoch_state.v)[idx, : fa.n_vars],
+                    assignment=fetch(stoch_state.v)[idx, : fa.n_vars],
                     solved=True,
                     steps=steps,
                     wall_time_s=time.perf_counter() - t0,

@@ -44,6 +44,8 @@ def drive_chunks(
     """
     import jax
 
+    from odesat_tpu.parallel.dist import fetch
+
     chunk_steps = chunk_steps if chunk_steps is not None else config.chunk_steps
     # checkpoint cadence counts only when a path is set (the save branch
     # below requires both) — an inert cadence must not disable growth
@@ -84,7 +86,7 @@ def drive_chunks(
                     runner = make_runner(bigger)
                     chunk_steps = bigger
 
-            done = np.asarray(state.done)
+            done = fetch(state.done)  # allgathers on a pod
             if should_stop(state, done):
                 break
             if (

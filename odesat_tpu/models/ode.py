@@ -423,7 +423,9 @@ def make_chunk_runner(fa: FormulaArrays, zeta: float, ode: ODEConfig, chunk_step
 
 def _readout(state: ODEState, n_vars: int) -> np.ndarray:
     """Boolean readout: v > 0 (reference: src/system.rs:238)."""
-    return np.asarray(state.v[:, :n_vars] > 0.0)
+    from odesat_tpu.parallel.dist import fetch
+
+    return fetch(state.v[:, :n_vars] > 0.0)
 
 
 def _resolve_key(config: SolverConfig, key: Optional[jax.Array]) -> jax.Array:
@@ -547,7 +549,9 @@ def simulate_batch(
         chunk_steps=chunk_steps,
     )
 
-    done = np.asarray(state.done)
+    from odesat_tpu.parallel.dist import fetch
+
+    done = fetch(state.done)
     solved = np.flatnonzero(done)
     return SolveResult(
         assignment=_readout(state, fa.n_vars),

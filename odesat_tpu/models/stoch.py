@@ -348,10 +348,12 @@ def search(
         steps_resumed=steps_resumed,
     )
 
-    done = np.asarray(state.done)
+    from odesat_tpu.parallel.dist import fetch
+
+    done = fetch(state.done)
     solved = np.flatnonzero(done)
     return StochResult(
-        assignment=np.asarray(state.v[:, : fa.n_vars]),
+        assignment=fetch(state.v[:, : fa.n_vars]),
         done=done,
         steps=steps_run,
         solved_index=int(solved[0]) if solved.size else None,

@@ -104,12 +104,15 @@ def compile_for_mesh(formula, config: SolverConfig, mesh: Mesh) -> FormulaArrays
 
 
 def shard_inputs(state: ODEState, dev: FormulaDevice, mesh: Mesh):
-    """Lay out the state and incidence arrays on the mesh."""
+    """Lay out the state and incidence arrays on the mesh (multi-host
+    aware: on a pod each process contributes its local shards)."""
+    from odesat_tpu.parallel.dist import put_global
+
     state = jax.tree.map(
-        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)), state, STATE_SPECS
+        lambda x, spec: put_global(x, NamedSharding(mesh, spec)), state, STATE_SPECS
     )
     dev = jax.tree.map(
-        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
+        lambda x, spec: put_global(x, NamedSharding(mesh, spec)),
         dev,
         dev_specs_for(dev),
     )
@@ -117,8 +120,10 @@ def shard_inputs(state: ODEState, dev: FormulaDevice, mesh: Mesh):
 
 
 def shard_state(state: ODEState, mesh: Mesh) -> ODEState:
+    from odesat_tpu.parallel.dist import put_global
+
     return jax.tree.map(
-        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)), state, STATE_SPECS
+        lambda x, spec: put_global(x, NamedSharding(mesh, spec)), state, STATE_SPECS
     )
 
 
@@ -309,10 +314,12 @@ def make_sharded_stoch_runner(
             local, mesh=mesh, in_specs=(specs, dspecs), out_specs=specs
         )
         jitted = jax.jit(sharded, donate_argnums=0)
+        from odesat_tpu.parallel.dist import put_global
+
         dev = formula_device(fa)
         dev = FormulaDevice(*dev[:6], planes=None, span_lo=None, span_bias=None)
         dev = jax.tree.map(
-            lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
+            lambda x, spec: put_global(x, NamedSharding(mesh, spec)),
             dev,
             dspecs,
         )
@@ -343,10 +350,12 @@ def shard_stoch_inputs(state, mesh: Mesh):
     mesh; the clause weights shard over a non-trivial clause axis."""
     from odesat_tpu.models.stoch import StochState
 
+    from odesat_tpu.parallel.dist import put_global
+
     xl_spec = P("traj", "clause") if mesh.shape.get("clause", 1) > 1 else P("traj")
     specs = StochState(v=P("traj"), xl=xl_spec, done=P("traj"), key=P("traj"))
     return jax.tree.map(
-        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)), state, specs
+        lambda x, spec: put_global(x, NamedSharding(mesh, spec)), state, specs
     )
 
 

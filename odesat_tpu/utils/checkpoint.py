@@ -32,11 +32,16 @@ def _atomic_savez(path: str, arrays: dict) -> None:
 
 def save_state(path: str, state, steps: int) -> None:
     """Atomically snapshot a solver state NamedTuple (ODEState or
-    StochState) plus the step counter."""
-    arrays = {f"field_{name}": np.asarray(value) for name, value in state._asdict().items()}
+    StochState) plus the step counter. On a pod every process
+    allgathers the global state (a collective — all must call) but only
+    process 0 writes the file."""
+    from odesat_tpu.parallel.dist import fetch, is_primary
+
+    arrays = {f"field_{name}": fetch(value) for name, value in state._asdict().items()}
     arrays["steps"] = np.asarray(steps)
     arrays["fields"] = np.asarray(list(state._fields))
-    _atomic_savez(path, arrays)
+    if is_primary():
+        _atomic_savez(path, arrays)
 
 
 def load_state(path: str, state_cls):
@@ -51,15 +56,18 @@ def load_state(path: str, state_cls):
 
 def save_hybrid_state(path: str, ode_state, stoch_state, steps: int) -> None:
     """Snapshot the hybrid portfolio's two engine states into one file
-    (field keys prefixed per engine)."""
-    arrays = {f"ode_{k}": np.asarray(v) for k, v in ode_state._asdict().items()}
+    (field keys prefixed per engine; pod semantics as save_state)."""
+    from odesat_tpu.parallel.dist import fetch, is_primary
+
+    arrays = {f"ode_{k}": fetch(v) for k, v in ode_state._asdict().items()}
     arrays.update(
-        {f"stoch_{k}": np.asarray(v) for k, v in stoch_state._asdict().items()}
+        {f"stoch_{k}": fetch(v) for k, v in stoch_state._asdict().items()}
     )
     arrays["steps"] = np.asarray(steps)
     arrays["ode_fields"] = np.asarray(list(ode_state._fields))
     arrays["stoch_fields"] = np.asarray(list(stoch_state._fields))
-    _atomic_savez(path, arrays)
+    if is_primary():
+        _atomic_savez(path, arrays)
 
 
 def load_hybrid_state(path: str, ode_cls, stoch_cls):

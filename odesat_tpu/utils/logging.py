@@ -24,15 +24,17 @@ if not logger.handlers:
 
 def chunk_metrics(state, steps_run: int) -> dict:
     """Summarize a solver state between chunks (device->host pulls only
-    the small reductions)."""
-    done = np.asarray(state.done)
+    the small reductions; allgathered on a pod)."""
+    from odesat_tpu.parallel.dist import fetch
+
+    done = fetch(state.done)
     metrics = {
         "steps": steps_run,
         "solved": int(done.sum()),
         "batch": int(done.size),
     }
     if hasattr(state, "dt"):
-        dt = np.asarray(state.dt)
+        dt = fetch(state.dt)
         metrics.update(dt_min=float(dt.min()), dt_med=float(np.median(dt)), dt_max=float(dt.max()))
     return metrics
 

