@@ -21,8 +21,6 @@ from __future__ import annotations
 
 import time
 
-import numpy as np
-
 GROW_AFTER = 8
 GROW_CAP = 32768
 
@@ -39,7 +37,10 @@ def drive_chunks(
     """Run ``state = runner(state)`` chunks until ``should_stop(state,
     done)`` (done arrives host-pulled), the step budget, or the
     wall-clock budget. ``make_runner(n) -> (state -> state)`` builds a
-    runner advancing every trajectory n steps. Returns
+    runner advancing every trajectory n steps; a runner may instead
+    return ``(state, steps_advanced)`` when it short-circuits on-device
+    (models/ode.make_multi_chunk_runner) — the actual advance is then
+    credited instead of the nominal n. Returns
     ``(state, steps_run, wall_time_s)``.
     """
     import jax
@@ -57,6 +58,7 @@ def drive_chunks(
 
     runner = make_runner(chunk_steps)
     tail_runner = None
+    tail_n = None
     steps_run = steps_resumed
     chunks = 0
     t0 = time.perf_counter()
@@ -70,13 +72,24 @@ def drive_chunks(
             if remaining is not None and remaining <= 0:
                 break
             if remaining is not None and remaining < chunk_steps:
-                if tail_runner is None:
+                # keyed on remaining: a device-loop runner may advance
+                # less than its nominal n, shifting later tail sizes
+                if tail_runner is None or tail_n != remaining:
                     tail_runner = make_runner(remaining)
+                    tail_n = remaining
                 state = tail_runner(state)
-                steps_run += remaining
+                if type(state) is tuple:  # NamedTuple states are excluded
+                    state, advanced = state
+                    steps_run += int(advanced)
+                else:
+                    steps_run += remaining
             else:
                 state = runner(state)
-                steps_run += chunk_steps
+                if type(state) is tuple:  # NamedTuple states are excluded
+                    state, advanced = state
+                    steps_run += int(advanced)
+                else:
+                    steps_run += chunk_steps
             chunks += 1
             if can_grow and chunks % GROW_AFTER == 0 and chunk_steps < GROW_CAP:
                 bigger = min(chunk_steps * 16, GROW_CAP)

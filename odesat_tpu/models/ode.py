@@ -347,7 +347,9 @@ def make_step_fn(
     return step
 
 
-def make_chunk_runner(fa: FormulaArrays, zeta: float, ode: ODEConfig, chunk_steps: int):
+def make_chunk_runner(
+    fa: FormulaArrays, zeta: float, ode: ODEConfig, chunk_steps: int, donate: bool = True
+):
     """Jitted ``(state, dev) -> state`` advancing every trajectory by
     ``chunk_steps`` steps (solved trajectories stay frozen). The state
     buffers are donated so XLA updates them in place.
@@ -402,12 +404,12 @@ def make_chunk_runner(fa: FormulaArrays, zeta: float, ode: ODEConfig, chunk_step
         from odesat_tpu.ops.fused_pallas import make_fused_chunk
 
         # already jitted inside (shape-cached; donated state)
-        return make_fused_chunk(fa, zeta, ode, chunk_steps, donate=True)
+        return make_fused_chunk(fa, zeta, ode, chunk_steps, donate=donate)
 
     if strategy == "stream":
         from odesat_tpu.ops.stream_pallas import make_stream_chunk
 
-        return make_stream_chunk(fa, zeta, ode, chunk_steps, donate=True)
+        return make_stream_chunk(fa, zeta, ode, chunk_steps, donate=donate)
 
     step = make_step_fn(fa, zeta, ode)
 
@@ -418,7 +420,46 @@ def make_chunk_runner(fa: FormulaArrays, zeta: float, ode: ODEConfig, chunk_step
         out, _ = jax.lax.scan(body, state, None, length=chunk_steps)
         return out
 
-    return jax.jit(run_chunk, donate_argnums=0)
+    return jax.jit(run_chunk, donate_argnums=0 if donate else ())
+
+
+def make_multi_chunk_runner(
+    fa: FormulaArrays,
+    zeta: float,
+    ode: ODEConfig,
+    chunk_steps: int,
+    max_chunks: int,
+    stop_on: str = "any",
+):
+    """Jitted ``(state, dev) -> (state, steps_advanced)`` running up to
+    ``max_chunks`` chunks of ``chunk_steps`` inside ONE dispatch, with an
+    on-device done short-circuit between chunks (``lax.while_loop``).
+
+    Small batches are dispatch-latency bound: the remote-TPU round trip
+    dwarfs the step cost, and host-side chunk escalation merely
+    amortizes it at the price of coarse early exit. The device loop
+    keeps the fine exit window (one inner chunk) while paying ONE
+    dispatch per ``max_chunks`` chunks — the TPU shape of the
+    reference's per-step solved break (src/system.rs:192-196).
+    ``steps_advanced`` is exact (chunks actually run x chunk_steps), so
+    the host budget accounting stays precise."""
+    chunk = make_chunk_runner(fa, zeta, ode, chunk_steps, donate=False)
+    stop_all = stop_on == "all"
+
+    def run(state: ODEState, dev: FormulaDevice):
+        def cond(carry):
+            st, i = carry
+            solved = jnp.all(st.done) if stop_all else jnp.any(st.done)
+            return (i < max_chunks) & ~solved
+
+        def body(carry):
+            st, i = carry
+            return chunk(st, dev), i + 1
+
+        st, n = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+        return st, n * chunk_steps
+
+    return jax.jit(run, donate_argnums=0)
 
 
 def _readout(state: ODEState, n_vars: int) -> np.ndarray:
@@ -492,10 +533,11 @@ def simulate_batch(
     dev = formula_device(fa, dtype=_dtype(ode), matmul_dtype=ode.matmul_dtype)
 
     # Small batches are dispatch-latency bound (the remote TPU round trip
-    # dwarfs the step cost): grow the chunk toward a constant amount of
-    # dispatched work. Measured on easy.cnf B=1: 5e4 steps/s at
-    # chunk=1000 -> 2e6 at chunk=50000 (early-exit granularity coarsens
-    # accordingly — tens of ms of wasted steps at these rates).
+    # dwarfs the step cost). An on-device bounded while_loop runs many
+    # chunks per dispatch with an exact done short-circuit between them
+    # (make_multi_chunk_runner) — unlike host-side chunk growth, the
+    # early-exit window stays ONE inner chunk while dispatch overhead
+    # amortizes over up to DISPATCH_STEPS steps.
     chunk_steps = config.chunk_steps
     # checkpoint cadence is only live when a path is set (the save branch
     # requires both) — an inert cadence must not disable chunk growth
@@ -503,18 +545,30 @@ def simulate_batch(
         (config.checkpoint_every_chunks and config.checkpoint_path)
         or config.log_every_chunks
     )
-    if (
-        not wants_chunk_cadence  # chunk growth would defeat the cadence flags
+    DISPATCH_STEPS = 262144
+    use_device_loop = (
+        mesh is None
+        and harvest is None  # the oracle exit needs host control per chunk
+        and not wants_chunk_cadence
         and config.batch_size < 1024
         and (ode.steps is None or ode.steps > chunk_steps)
-    ):
-        chunk_steps = max(
-            chunk_steps, min(32768, 65536 // max(config.batch_size, 1))
-        )
+    )
+
+    if use_device_loop:
+        inner_chunk = chunk_steps
+        chunk_steps = DISPATCH_STEPS  # nominal per-dispatch budget slice
         if ode.steps is not None:
             chunk_steps = min(chunk_steps, ode.steps)
 
-    if mesh is None:
+        def make_runner(n):
+            if n <= inner_chunk:
+                r = make_chunk_runner(fa, zeta, ode, n)
+                return lambda st: r(st, dev)
+            m = make_multi_chunk_runner(
+                fa, zeta, ode, inner_chunk, n // inner_chunk, stop_on=stop_on
+            )
+            return lambda st: m(st, dev)
+    elif mesh is None:
         def make_runner(n):
             r = make_chunk_runner(fa, zeta, ode, n)
             return lambda st: r(st, dev)

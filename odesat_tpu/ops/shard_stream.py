@@ -318,10 +318,11 @@ def _pick_traj_block(
     """Largest power-of-two block dividing the batch whose VMEM footprint
     fits (at Np=10240 streamed staging allows 256-row blocks where
     whole-block staging forced 32 — 8x more MXU rows per pass). Bigger
-    blocks divide the per-launch plane streaming by the grid size AND
-    feed the MXU more rows per pass: 512 -> 2048 measured 3.22 ->
-    2.44 ms/step on preprocessed n=1k random 3-SAT at B=4096
-    (tools/probe_shard_overhead.py)."""
+    blocks divide the per-launch plane streaming by the grid size and
+    feed the MXU more rows per pass (512 -> 2048 measured 3.22 -> 3.13
+    ms/step alone on preprocessed n=1k random 3-SAT at B=4096; the
+    carry-copy elimination via input_output_aliases is the larger win —
+    tools/probe_shard_overhead.py)."""
     bb = 2048
     while bb > 8 and batch % bb:
         bb //= 2
@@ -668,6 +669,18 @@ def _make_shard_call(
                 pltpu.SemaphoreType.DMA((4,)),  # span writes
             ],
         )
+        # "fixed"/"second" write the updated clause state in place over
+        # the xs/xl operands (safe: each span is read exactly once,
+        # strictly before its write DMA starts) — without the alias the
+        # scan carry forces XLA to copy both (B, Mp) outputs back into
+        # the carry buffers every step (measured 0.5 ms/step at
+        # B=4096, Mp=6528). Alias indices count the scalar-prefetch
+        # operand: xs is operand 1 (v) + n_scalar_rows + 1.
+        aliases = (
+            {}
+            if mode == "rhs"
+            else {1 + n_scalar_rows + 1: 1, 1 + n_scalar_rows + 2: 2}
+        )
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -677,6 +690,7 @@ def _make_shard_call(
                 jax.ShapeDtypeStruct((B, Mp), jnp.float32),
                 jax.ShapeDtypeStruct((B, 1), jnp.float32),
             ],
+            input_output_aliases=aliases,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,

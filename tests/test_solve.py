@@ -186,3 +186,26 @@ def test_full_pipeline_matches_brute_force_oracle():
             assert verified, f"trial {trial}: failed to solve a SAT formula"
             sat_checked += 1
     assert sat_checked >= 3 and unsat_checked >= 1  # both branches exercised
+
+def test_device_loop_early_exit_granularity(data_dir):
+    """Small batches run many chunks per dispatch inside an on-device
+    while_loop (models/ode.make_multi_chunk_runner); the done
+    short-circuit keeps the early-exit window at ONE inner chunk, so a
+    fast solve reports steps at chunk granularity, far below the
+    nominal per-dispatch slice."""
+    from odesat_tpu.cnf import normalize_cnf_variables, parse_dimacs_file
+    from odesat_tpu.models.ode import simulate_batch
+
+    formula = parse_dimacs_file(os.path.join(data_dir, "small.cnf"))
+    _, normalized = normalize_cnf_variables(formula)
+    config = SolverConfig(
+        ode=ODEConfig(step_size=0.01),  # unbounded budget
+        batch_size=4,
+        seed=0,
+        chunk_steps=64,
+        wall_clock_budget_s=120.0,
+    )
+    result = simulate_batch(normalized, config, stop_on="any")
+    assert result.any_solved
+    assert result.steps % 64 == 0
+    assert result.steps < 262144  # exited early within the first dispatch
