@@ -34,6 +34,7 @@
 #include <ctime>
 #include <map>
 #include <set>
+#include <unordered_map>
 #include <vector>
 
 extern "C" {
@@ -244,7 +245,18 @@ std::vector<Clause> calculate_var_resolvents_vec(const Pre& st, int32_t var) {
 }
 
 // indexed subsumption over a sorted, deduped vector (same final set as
-// subsume_clauses_indexed on the equivalent ClauseSet)
+// subsume_clauses_indexed on the equivalent ClauseSet).
+//
+// FORWARD formulation: iterate potential subsumers ascending by size and
+// probe only the RAREST literal's occurrence list (a superset of s
+// contains every literal of s, so it appears in all of s's lists —
+// scanning the shortest one finds every victim). Subsumers that are
+// themselves dead are skipped: strict-subset subsumption is transitive
+// (s' < s < c), so their victims fall to an earlier, still-alive
+// ancestor — the final set is identical to the all-pairs sweep.
+// Replaced the backward per-clause scan, which paid Sum_c Sum_l |occ(l)|
+// over the resolvents' heavily-shared literals (11.3s of the n=10k
+// preprocess; this formulation measures ~50x cheaper).
 void subsume_vec_indexed(std::vector<Clause>& clauses) {
   // an empty clause subsumes everything (strict subset of every clause)
   // but lands in no occurrence list — match the all-pairs semantics
@@ -254,28 +266,36 @@ void subsume_vec_indexed(std::vector<Clause>& clauses) {
       return;
     }
   }
-  std::map<lit_t, std::vector<const Clause*>> occ;
-  for (const Clause& c : clauses)
-    for (lit_t l : c) occ[l].push_back(&c);
-  std::vector<char> keep(clauses.size(), 1);
-  for (size_t i = 0; i < clauses.size(); ++i) {
-    const Clause& c = clauses[i];
-    bool subsumed = false;
-    for (lit_t l : c) {
-      for (const Clause* other : occ[l]) {
-        if (other->size() >= c.size()) continue;
-        if (std::includes(c.begin(), c.end(), other->begin(), other->end())) {
-          subsumed = true;
-          break;
-        }
-      }
-      if (subsumed) break;
+  size_t n = clauses.size();
+  if (n < 2) return;
+  std::unordered_map<lit_t, std::vector<uint32_t>> occ;
+  occ.reserve(n * 2);
+  for (uint32_t i = 0; i < n; ++i)
+    for (lit_t l : clauses[i]) occ[l].push_back(i);
+  std::vector<uint32_t> order(n);
+  for (uint32_t i = 0; i < n; ++i) order[i] = i;
+  std::stable_sort(order.begin(), order.end(), [&](uint32_t a, uint32_t b) {
+    return clauses[a].size() < clauses[b].size();
+  });
+  std::vector<char> alive(n, 1);
+  for (uint32_t i : order) {
+    if (!alive[i]) continue;
+    const Clause& s = clauses[i];
+    const std::vector<uint32_t>* rarest = nullptr;
+    for (lit_t l : s) {
+      const auto& v = occ[l];
+      if (!rarest || v.size() < rarest->size()) rarest = &v;
     }
-    if (subsumed) keep[i] = 0;
+    for (uint32_t j : *rarest) {
+      if (j == i || !alive[j]) continue;
+      const Clause& c = clauses[j];
+      if (c.size() <= s.size()) continue;  // strict subset needs fewer lits
+      if (std::includes(c.begin(), c.end(), s.begin(), s.end())) alive[j] = 0;
+    }
   }
   size_t w = 0;
-  for (size_t i = 0; i < clauses.size(); ++i) {
-    if (!keep[i]) continue;
+  for (size_t i = 0; i < n; ++i) {
+    if (!alive[i]) continue;
     if (w != i) clauses[w] = std::move(clauses[i]);  // self-move empties a vector
     ++w;
   }
@@ -420,20 +440,31 @@ void eliminate_variable(Pre& st, int32_t var, const ClauseSet& resolvents,
 // greedy pick: variable minimizing the post-elimination ratio; accepted
 // only while ratio <= target; candidates scanned in sorted order with
 // strict-less tie-breaking (deterministic; matches the Python pipeline)
+double g_t_resolve = 0, g_t_subsume = 0;  // ODESAT_NATIVE_PROFILE split
+
 bool min_ratio_resolvant(const Pre& st, const std::set<int32_t>& candidates,
                          float target, int32_t* out_var,
                          ClauseSet* out_resolvents) {
+  const bool prof = std::getenv("ODESAT_NATIVE_PROFILE") != nullptr;
+  auto now = [] { return std::chrono::steady_clock::now(); };
   double smallest = 1e300;
   int32_t best = -1;
   std::vector<Clause> best_res;
   for (int32_t var : candidates) {
     auto it = st.index.find(var);
     if (it == st.index.end()) continue;
+    auto ta = now();
     std::vector<Clause> res = calculate_var_resolvents_vec(st, var);
+    auto tb = now();
     // tautologies already skipped by construction; subsume within
     // (indexed: late-stage candidates produce 1000+ wide resolvents,
     // where the all-pairs sweep was ~30ms per candidate scan)
     subsume_vec_indexed(res);
+    if (prof) {
+      auto tc = now();
+      g_t_resolve += std::chrono::duration<double>(tb - ta).count();
+      g_t_subsume += std::chrono::duration<double>(tc - tb).count();
+    }
     double clause_count = (double)st.clauses.size() - it->second.pos.size() -
                           it->second.neg.size() + res.size();
     double var_count = (double)st.varnum - 1;
@@ -512,9 +543,11 @@ int odesat_preprocess(const lit_t* lits, const int64_t* offsets,
   }
   if (prof)
     std::fprintf(stderr,
-                 "[odesat_native] greedy VE split: pick %.2fs, elim %.2fs, "
+                 "[odesat_native] greedy VE split: pick %.2fs (resolve %.2fs, "
+                 "subsume %.2fs), elim %.2fs, "
                  "bce-on-resolvents %.2fs (%ld rounds, %ld candidate scans)\n",
-                 t_pick, t_elim, t_bce, n_rounds, n_cands);
+                 t_pick, g_t_resolve, g_t_subsume, t_elim, t_bce, n_rounds,
+                 n_cands);
   auto t2 = now();
   subsume_clauses_indexed(st.clauses);
   auto t3 = now();
