@@ -80,6 +80,13 @@ def _add_common(p: argparse.ArgumentParser, batch_required: bool = False) -> Non
         "(--devices is ignored). Requires jax.distributed coordination — "
         "auto-detected on TPU pods, or explicit via --coordinator",
     )
+    p.add_argument(
+        "--shard-chunk",
+        action="store_true",
+        help="clause-mesh whole-chunk kernel with the dv all-reduce done "
+        "inside the kernel via remote DMA over ICI (prototype; needs a "
+        "power-of-two --clause-shards and real TPU hardware)",
+    )
     p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
                    help="jax.distributed coordinator address (multi-host)")
     p.add_argument("--num-processes", type=int, default=None,
@@ -190,6 +197,7 @@ def _config_from_args(args, batch_size: int = 1) -> SolverConfig:
         dv_strategy=args.dv_strategy,
         matmul_dtype=args.matmul_dtype,
         dt_mode=getattr(args, "dt_mode", "per-trajectory"),
+        shard_chunk=getattr(args, "shard_chunk", False),
     )
     return SolverConfig(
         ode=ode,

@@ -1,0 +1,545 @@
+"""Whole-chunk clause-sharded kernel with the all-reduce INSIDE the
+kernel (Pallas remote DMA over ICI) — round-2 VERDICT item 10 / RESULTS
+known-gap #0, prototyped behind ``ODEConfig.shard_chunk``.
+
+The per-step launch path (ops/shard_stream.make_fused_clause_step) pays
+a kernel launch + v/dv HBM round trip per step because the dv psum
+lives in XLA between launches. This kernel keeps v/dt/done resident in
+VMEM across a whole chunk (like ops/stream_pallas.py), streams the
+shard-local xs/xl spans from HBM, and replaces the XLA psum with an
+in-kernel **butterfly (recursive-doubling) all-reduce** over the clause
+axis using ``pltpu.make_async_remote_copy``:
+
+* round r exchanges the accumulator with partner ``clause_idx ^ 2^r``
+  and both sides add — IEEE f32 addition is commutative, and every
+  round's pairwise grouping is identical on all shards, so the reduced
+  dv is **bit-identical everywhere** (a sequential ring would sum in a
+  different order per shard and let the replicated v drift apart);
+* the (Bb, Np) dv block carries a 128-lane extension holding the
+  shard-local allsat flag (min-combined) in pass 1 and the adaptive
+  error norm (max-combined) in pass 2, so the flags ride the same
+  transfers;
+* log2(S) hops per reduction instead of a ring's S-1.
+
+Requires a power-of-two clause axis. At S=1 the reduction degenerates
+and the kernel is a plan-layout whole-chunk program — runnable on ONE
+real chip, which is how the non-collective 99% of this code is
+validated on hardware; the collective itself is validated in interpret
+mode on the CPU mesh (tests/test_shard_chunk.py), where the remote-DMA
+discharge supports a single named mesh axis (the test wraps the kernel
+in a clause-only shard_map; the production 2-axis path addresses
+partners as ``device_id={"clause": partner}`` / ``DeviceIdType.MESH``,
+untestable without real multi-chip hardware).
+
+Reference anchors: per-clause independence of the reduction,
+/root/reference/src/system.rs:35-90; update locality, src/system.rs:93-97.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from odesat_tpu.constants import (
+    ALPHA,
+    BETA,
+    DELTA,
+    DT_MAX,
+    DT_MIN,
+    EPSILON,
+    GAMMA,
+    XL_CAP_PER_CLAUSE,
+)
+from odesat_tpu.ops.shard_stream import (
+    SPAN,
+    StreamShardPlan,
+    _block_footprint,
+    _pick_traj_block,
+    _VMEM_BUDGET,
+)
+
+_INF = float("inf")
+EXT = SPAN  # lane width of the flag extension riding with dv
+
+
+def shard_chunk_supported(fa, plan: StreamShardPlan, ode, itemsize: int = 4) -> bool:
+    from odesat_tpu.ops.shard_stream import stream_shard_supported
+
+    s = plan.n_shards
+    return (
+        stream_shard_supported(fa, plan, itemsize)
+        and (s & (s - 1)) == 0  # butterfly needs a power-of-two axis
+        and getattr(ode, "dtype", "float32") == "float32"
+        and getattr(ode, "dt_mode", "per-trajectory") == "per-trajectory"
+    )
+
+
+def make_shard_chunk_call(
+    fa,
+    zeta: float,
+    ode,
+    chunk_steps: int,
+    interpret: bool | None = None,
+    traj_block: int | None = None,
+    ring_axis: str = "clause",
+):
+    """Per-shard whole-chunk callable for use INSIDE shard_map:
+    ``call(v, xs, xl, dt, done, planes, lo, bias, cmask) ->
+    (v, xs, xl, dt, done)`` advancing ``chunk_steps`` steps with the
+    clause-axis all-reduce done in-kernel. Both integrators.
+    """
+    plan = fa.shard_plan
+    if plan is None:
+        raise ValueError("needs a compile_stream_sharded formula (shard plan)")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_shards = plan.n_shards
+    if n_shards & (n_shards - 1):
+        raise ValueError("shard_chunk needs a power-of-two clause axis")
+    n_rounds = n_shards.bit_length() - 1
+
+    paper = ode.rigidity == "paper"
+    zeta_c = float(zeta)
+    bf16 = getattr(ode, "matmul_dtype", "float32") == "bfloat16"
+    mm_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    mm_precision = None if bf16 else jax.lax.Precision.HIGHEST
+    itemsize = 2 if bf16 else 4
+    fixed = ode.step_size is not None
+    dt_fixed = float(ode.step_size) if fixed else 0.0
+    tol = float(ode.tolerance)
+    xl_cap = XL_CAP_PER_CLAUSE * fa.n_clauses  # real count (src/system.rs:95)
+
+    span_meta = plan.span_meta
+    S = len(span_meta)
+    Np = plan.n_vars_padded
+    Mp = plan.mp_local
+    Kmax = max(kb for _, kb, _, _ in span_meta)
+    R = plan.planes.shape[1]
+    n_read = 2 if fixed else 4
+    channels = n_read + 2
+
+    def kernel(lo_ref, *refs):
+        if fixed:
+            (v_ref, dt_ref, done_ref, xs_ref, xl_ref, bias_ref, cmask_ref, g_ref,
+             v_o, dt_o, done_o, xs_o, xl_o,
+             gbuf, iobuf, vals_ref, v16_ref, acc_ref, travel_ref, sat_ref,
+             gsem, rsem, wsem, csem, ssem, rvsem) = refs
+            dxs_o = dxl_o = err_ref = None
+        else:
+            (v_ref, dt_ref, done_ref, xs_ref, xl_ref, bias_ref, cmask_ref, g_ref,
+             v_o, dt_o, done_o, xs_o, xl_o, dxs_o, dxl_o,
+             gbuf, iobuf, vals_ref, v16_ref, acc_ref, travel_ref, sat_ref, err_ref,
+             gsem, rsem, wsem, csem, ssem, rvsem) = refs
+
+        i = pl.program_id(0)
+        Bb = v_ref.shape[0]
+        rows = pl.ds(i * Bb, Bb)
+
+        # stage the clause memories into the output HBM buffers once per
+        # chunk; all span traffic then goes through xs_o/xl_o (reads via
+        # the output buffer are correct in compiled AND interpret modes)
+        init_xs = pltpu.make_async_copy(xs_ref.at[rows], xs_o.at[rows], csem.at[0])
+        init_xl = pltpu.make_async_copy(xl_ref.at[rows], xl_o.at[rows], csem.at[1])
+        init_xs.start()
+        init_xl.start()
+        init_xs.wait()
+        init_xl.wait()
+
+        def g_dma(sp, slot):
+            r0, kb, w, _ = span_meta[sp]
+            return pltpu.make_async_copy(
+                g_ref.at[r0 : r0 + kb * w], gbuf.at[slot, : kb * w], gsem.at[slot]
+            )
+
+        def read_dma(src, sp, slot, channel):
+            c0 = span_meta[sp][3]
+            return pltpu.make_async_copy(
+                src.at[rows, pl.ds(c0, SPAN)],
+                iobuf.at[slot, channel],
+                rsem.at[channel * 2 + slot],
+            )
+
+        def write_dma(dst, sp, slot, channel):
+            c0 = span_meta[sp][3]
+            return pltpu.make_async_copy(
+                iobuf.at[slot, channel],
+                dst.at[rows, pl.ds(c0, SPAN)],
+                wsem.at[(channel - n_read) * 2 + slot],
+            )
+
+        def span_terms(sp, slot, xs, xl):
+            """Per-span RHS terms; dv lands in acc_ref's dv zone at the
+            span's dynamic variable window."""
+            _, kb, w, _ = span_meta[sp]
+            lo = pl.multiple_of(lo_ref[sp], SPAN)
+            c0 = span_meta[sp][3]
+            vwin = v16_ref[:, pl.ds(lo, w)]
+            m1 = m2 = None
+            for k in range(kb):
+                valk = jnp.dot(
+                    vwin,
+                    gbuf[slot, k * w : (k + 1) * w],
+                    preferred_element_type=jnp.float32,
+                    precision=mm_precision,
+                ) + bias_ref[k : k + 1, c0 : c0 + SPAN]
+                if m1 is None:
+                    m1 = valk
+                    m2 = jnp.full(valk.shape, _INF, dtype=jnp.float32)
+                else:
+                    m2 = jnp.minimum(m2, jnp.maximum(m1, valk))
+                    m1 = jnp.minimum(m1, valk)
+                vals_ref[k] = valk
+            c = 0.5 * m1
+            a = -0.5 * (xl * xs)
+            b = -0.5 * ((1.0 + zeta_c * xl) * (1.0 - xs))
+            A1 = a * m1
+            A2 = a * m2
+            dvw = jnp.zeros((Bb, w), dtype=jnp.float32)
+            for k in range(kb):
+                valk = vals_ref[k]
+                is_min = valk <= m1
+                if paper:
+                    contrib = jnp.where(is_min, A2 + b * valk, A1)
+                else:
+                    gate = (valk == c).astype(jnp.float32)
+                    contrib = jnp.where(is_min, A2, A1) + b * (valk * gate)
+                dvw = dvw + jax.lax.dot_general(
+                    contrib.astype(mm_dtype),
+                    gbuf[slot, k * w : (k + 1) * w],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mm_precision,
+                )
+            acc_ref[:, pl.ds(lo, w)] = acc_ref[:, pl.ds(lo, w)] + dvw
+            cmask = cmask_ref[:, c0 : c0 + SPAN]
+            dxs = BETA * (xs + EPSILON) * (c - GAMMA) * cmask
+            dxl = ALPHA * (c - DELTA) * cmask
+            span_sat = jnp.min(
+                jnp.where(cmask > 0, (c < GAMMA).astype(jnp.float32), 1.0),
+                axis=1,
+                keepdims=True,
+            )
+            return dxs, dxl, span_sat
+
+        def allreduce(flag_min):
+            """Butterfly all-reduce of acc_ref over the clause axis: dv
+            zone adds, flag zone min- (pass 1) or max-combines (pass 2).
+            Grouping is identical on every shard, so the result is
+            bit-identical everywhere (see module docstring)."""
+            if n_rounds == 0:
+                return
+            ci = jax.lax.axis_index(ring_axis)
+            for r in range(n_rounds):
+                partner = jax.lax.bitwise_xor(ci, jnp.int32(1 << r))
+                travel_ref[0] = acc_ref[:]
+                if interpret:
+                    # CPU-mesh discharge supports one named axis only:
+                    # the test mesh is clause-only, logical id == index
+                    dev_id, dev_type = partner, pltpu.DeviceIdType.LOGICAL
+                else:
+                    dev_id, dev_type = (
+                        {ring_axis: partner},
+                        pltpu.DeviceIdType.MESH,
+                    )
+                copy = pltpu.make_async_remote_copy(
+                    src_ref=travel_ref.at[0],
+                    dst_ref=travel_ref.at[1],
+                    send_sem=ssem,
+                    recv_sem=rvsem,
+                    device_id=dev_id,
+                    device_id_type=dev_type,
+                )
+                copy.start()
+                copy.wait()
+                recv = travel_ref[1]
+                acc_ref[:, :Np] = acc_ref[:, :Np] + recv[:, :Np]
+                if flag_min:
+                    acc_ref[:, Np:] = jnp.minimum(acc_ref[:, Np:], recv[:, Np:])
+                else:
+                    acc_ref[:, Np:] = jnp.maximum(acc_ref[:, Np:], recv[:, Np:])
+
+        def clamp_xs(x):
+            return jnp.fmin(jnp.fmax(x, EPSILON), 1.0 - EPSILON)
+
+        def clamp_xl(x):
+            return jnp.fmin(jnp.fmax(x, 1.0), xl_cap)
+
+        def clamp_v(x):
+            return jnp.fmin(jnp.fmax(x, -1.0), 1.0)
+
+        def sweep(read_refs, write_dsts, write_back):
+            """One span sweep: stream the clause state through the read
+            channels, compute RHS terms into acc_ref, write the two
+            write-channel tiles to ``write_dsts``.
+            ``write_back(sp, slot, staged) -> (out0, out1)``."""
+            nr = len(read_refs)
+            d0, d1 = write_dsts
+            g_dma(0, 0).start()
+            for ch, src in enumerate(read_refs):
+                read_dma(src, 0, 0, ch).start()
+            for sp in range(S):
+                slot = sp % 2
+                if sp + 1 < S:
+                    nslot = (sp + 1) % 2
+                    g_dma(sp + 1, nslot).start()
+                    for ch, src in enumerate(read_refs):
+                        read_dma(src, sp + 1, nslot, ch).start()
+                g_dma(sp, slot).wait()
+                for ch, src in enumerate(read_refs):
+                    read_dma(src, sp, slot, ch).wait()
+                staged = [iobuf[slot, ch] for ch in range(nr)]
+                if sp >= 2:
+                    write_dma(d0, sp - 2, slot, n_read).wait()
+                    write_dma(d1, sp - 2, slot, n_read + 1).wait()
+                out0, out1 = write_back(sp, slot, staged)
+                iobuf[slot, n_read] = out0
+                iobuf[slot, n_read + 1] = out1
+                write_dma(d0, sp, slot, n_read).start()
+                write_dma(d1, sp, slot, n_read + 1).start()
+            for sp in (S - 2, S - 1):
+                if sp >= 0:
+                    slot = sp % 2
+                    write_dma(d0, sp, slot, n_read).wait()
+                    write_dma(d1, sp, slot, n_read + 1).wait()
+
+        if fixed:
+
+            def step(step_i, _):
+                done = done_o[:]
+                dt_col = jnp.where(done < 0.5, dt_fixed, 0.0)
+                v = v_o[:]
+                v16_ref[:] = v.astype(mm_dtype)
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+                sat_ref[:] = jnp.ones_like(sat_ref)
+
+                def write_back(sp, slot, staged):
+                    xs, xl = staged
+                    dxs, dxl, span_sat = span_terms(sp, slot, xs, xl)
+                    sat_ref[:] = jnp.minimum(sat_ref[:], span_sat)
+                    return (
+                        clamp_xs(xs + dt_col * dxs),
+                        clamp_xl(xl + dt_col * dxl),
+                    )
+
+                sweep((xs_o, xl_o), (xs_o, xl_o), write_back)
+                acc_ref[:, Np:] = jnp.broadcast_to(sat_ref[:], (Bb, EXT))
+                allreduce(flag_min=True)
+                v_o[:] = clamp_v(v + dt_col * acc_ref[:, :Np])
+                done_o[:] = jnp.maximum(done, acc_ref[:, Np : Np + 1])
+                return 0
+
+        else:
+
+            def step(step_i, _):
+                done = done_o[:]
+                dt = dt_o[:]
+                # tentative advance ignores allsat until pass 1's reduce;
+                # allsat trajectories' trial updates are discarded at
+                # commit (same gating as ops/stream_pallas.py)
+                dt_col = jnp.where(done < 0.5, dt, 0.0)
+                v = v_o[:]
+                v16_ref[:] = v.astype(mm_dtype)
+
+                # pass 1: RHS at (v, xs, xl); stage derivatives
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+                sat_ref[:] = jnp.ones_like(sat_ref)
+
+                def write_back1(sp, slot, staged):
+                    xs, xl = staged
+                    dxs, dxl, span_sat = span_terms(sp, slot, xs, xl)
+                    sat_ref[:] = jnp.minimum(sat_ref[:], span_sat)
+                    return dxs, dxl
+
+                sweep((xs_o, xl_o), (dxs_o, dxl_o), write_back1)
+                acc_ref[:, Np:] = jnp.broadcast_to(sat_ref[:], (Bb, EXT))
+                allreduce(flag_min=True)
+                dv1 = acc_ref[:, :Np]
+                allsat = acc_ref[:, Np : Np + 1]
+                advance = jnp.where((done < 0.5) & (allsat < 0.5), 1.0, 0.0)
+                vh = clamp_v(v + 0.5 * dt_col * dv1)
+                vf = clamp_v(v + dt_col * dv1)
+                v16_ref[:] = vh.astype(mm_dtype)
+
+                # pass 2: RHS at the recomputed half states; error; commit
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+                err_ref[:] = jnp.zeros_like(err_ref)
+
+                def write_back2(sp, slot, staged):
+                    xs0, xl0, dxs1, dxl1 = staged
+                    xsh = clamp_xs(xs0 + 0.5 * dt_col * dxs1)
+                    xlh = clamp_xl(xl0 + 0.5 * dt_col * dxl1)
+                    dxs2, dxl2, _ = span_terms(sp, slot, xsh, xlh)
+                    txs = clamp_xs(xsh + 0.5 * dt_col * dxs2)
+                    txl = clamp_xl(xlh + 0.5 * dt_col * dxl2)
+                    err_span = jnp.maximum(
+                        jnp.max(
+                            jnp.abs(clamp_xs(xs0 + dt_col * dxs1) - txs),
+                            axis=1,
+                            keepdims=True,
+                        ),
+                        jnp.max(
+                            jnp.abs(clamp_xl(xl0 + dt_col * dxl1) - txl),
+                            axis=1,
+                            keepdims=True,
+                        ),
+                    )
+                    err_ref[:] = jnp.maximum(err_ref[:], err_span)
+                    keep = advance > 0.5
+                    return (
+                        jnp.where(keep, txs, xs0),
+                        jnp.where(keep, txl, xl0),
+                    )
+
+                sweep((xs_o, xl_o, dxs_o, dxl_o), (xs_o, xl_o), write_back2)
+                acc_ref[:, Np:] = jnp.broadcast_to(err_ref[:], (Bb, EXT))
+                allreduce(flag_min=False)
+                dv2 = acc_ref[:, :Np]
+                tv = clamp_v(vh + 0.5 * dt_col * dv2)
+                err = jnp.maximum(
+                    acc_ref[:, Np : Np + 1],
+                    jnp.max(jnp.abs(vf - tv), axis=1, keepdims=True),
+                )
+                new_dt = jnp.clip(
+                    dt * jnp.sqrt(tol / jnp.maximum(err, 1e-30)), DT_MIN, DT_MAX
+                )
+                adv = advance > 0.5
+                v_o[:] = jnp.where(adv, tv, v)
+                dt_o[:] = jnp.where(adv, new_dt, dt)
+                done_o[:] = jnp.maximum(done, allsat)
+                return 0
+
+        v_o[:] = v_ref[:]
+        dt_o[:] = dt_ref[:]
+        done_o[:] = done_ref[:]
+        jax.lax.fori_loop(0, chunk_steps, step, 0)
+
+    def footprint(bb):
+        # base model + the all-reduce accumulator and travel buffers
+        # (3 extra (bb, Np+EXT) f32 blocks) this kernel adds
+        return _block_footprint(
+            bb, Np, Mp, plan.max_group_rows, itemsize, Kmax, channels
+        ) + 3 * bb * (Np + EXT) * 4
+
+    def call(v, xs, xl, dt, done, planes, lo, bias, cmask):
+        B = v.shape[0]
+        Bb = traj_block or _pick_traj_block(
+            B, Np, Mp, plan.max_group_rows, itemsize, Kmax, channels
+        )
+        while Bb > 8 and B % Bb:
+            Bb //= 2
+        while Bb > 8 and footprint(Bb) > _VMEM_BUDGET:
+            Bb //= 2
+        if B % Bb:
+            if footprint(B) > _VMEM_BUDGET:
+                raise ValueError(
+                    f"batch size {B} has no power-of-two divisor >= 8 and is "
+                    "too large for a single VMEM block; use a batch size "
+                    "divisible by 8"
+                )
+            Bb = B
+        grid = (B // Bb,)
+
+        row_blk = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        )
+        const_blk = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i, *_: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        n_extra_out = 0 if fixed else 2
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                row_blk((Bb, Np)),
+                row_blk((Bb, 1)),  # dt
+                row_blk((Bb, 1)),  # done
+                any_spec,  # xs
+                any_spec,  # xl
+                const_blk(bias.shape),
+                const_blk((1, Mp)),
+                any_spec,  # planes
+            ],
+            out_specs=[
+                row_blk((Bb, Np)),
+                row_blk((Bb, 1)),
+                row_blk((Bb, 1)),
+                any_spec,  # xs out
+                any_spec,  # xl out
+                *([any_spec] * n_extra_out),  # dxs/dxl staging (adaptive)
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, plan.max_group_rows, SPAN), mm_dtype),
+                pltpu.VMEM((2, channels, Bb, SPAN), jnp.float32),
+                pltpu.VMEM((Kmax, Bb, SPAN), jnp.float32),
+                pltpu.VMEM((Bb, Np), mm_dtype),
+                pltpu.VMEM((Bb, Np + EXT), jnp.float32),  # acc (dv ‖ flag)
+                pltpu.VMEM((2, Bb, Np + EXT), jnp.float32),  # travel
+                pltpu.VMEM((Bb, 1), jnp.float32),  # sat
+                *([] if fixed else [pltpu.VMEM((Bb, 1), jnp.float32)]),  # err
+                pltpu.SemaphoreType.DMA((2,)),  # planes
+                pltpu.SemaphoreType.DMA((2 * n_read,)),  # span reads
+                pltpu.SemaphoreType.DMA((4,)),  # span writes
+                pltpu.SemaphoreType.DMA((2,)),  # init copies
+                pltpu.SemaphoreType.DMA,  # remote send
+                pltpu.SemaphoreType.DMA,  # remote recv
+            ],
+        )
+        out_shape = [
+            jax.ShapeDtypeStruct((B, Np), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, Mp), jnp.float32),
+            jax.ShapeDtypeStruct((B, Mp), jnp.float32),
+            *(
+                []
+                if fixed
+                else [
+                    jax.ShapeDtypeStruct((B, Mp), jnp.float32),
+                    jax.ShapeDtypeStruct((B, Mp), jnp.float32),
+                ]
+            ),
+        ]
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=_VMEM_BUDGET + 32 * 1024 * 1024,
+                # a collective id is only legal (and only needed) when
+                # the kernel actually contains remote DMAs
+                **({"collective_id": 7} if n_rounds > 0 else {}),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * B * R * SPAN * chunk_steps * (1 if fixed else 2),
+                bytes_accessed=(B // Bb)
+                * chunk_steps
+                * (1 if fixed else 2)
+                * (R * SPAN * itemsize + 4 * B * Mp * 4 // (B // Bb)),
+                transcendentals=0,
+            ),
+        )(
+            lo,
+            v.astype(jnp.float32),
+            dt.reshape(B, 1).astype(jnp.float32),
+            done.reshape(B, 1).astype(jnp.float32),
+            xs,
+            xl,
+            bias,
+            cmask.reshape(1, Mp).astype(jnp.float32),
+            planes.astype(mm_dtype),
+        )
+        v_o, dt_o, done_o, xs_o, xl_o = outs[:5]
+        return (
+            v_o,
+            xs_o,
+            xl_o,
+            dt_o.reshape(B).astype(dt.dtype),
+            done_o.reshape(B) > 0.5,
+        )
+
+    return call

@@ -193,6 +193,48 @@ def make_sharded_chunk_runner(
                 "compiled via compile_for_mesh (clause-sharded plan) with "
                 "no unit clauses, dtype=float32, per-trajectory dt"
             )
+        if eligible and ode.shard_chunk:
+            # whole-chunk clause-sharded kernel: dv all-reduced INSIDE
+            # the kernel via remote DMA (ops/shard_chunk.py); one launch
+            # per chunk instead of per step
+            from odesat_tpu.ops.shard_chunk import (
+                make_shard_chunk_call,
+                shard_chunk_supported,
+            )
+
+            if not shard_chunk_supported(fa, plan, ode, itemsize):
+                raise ValueError(
+                    "shard_chunk needs a power-of-two clause axis, f32 "
+                    "state, and per-trajectory dt"
+                )
+            if jax.default_backend() != "tpu" and n_clause > 1:
+                # the interpret-mode remote-DMA discharge supports ONE
+                # named mesh axis; off-TPU validation runs through the
+                # clause-only harness in tests/test_shard_chunk.py
+                raise ValueError(
+                    "shard_chunk with a clause axis needs real TPU "
+                    "hardware (interpret mode cannot simulate remote DMA "
+                    "under a two-axis mesh); validate via the clause-only "
+                    "test harness instead"
+                )
+            chunk_call = make_shard_chunk_call(fa, zeta, ode, chunk_steps)
+
+            def chunk_local(state: ODEState, dev: FormulaDevice) -> ODEState:
+                v, xs, xl, dt, done = chunk_call(
+                    state.v, state.xs, state.xl, state.dt, state.done,
+                    dev.planes[0], dev.span_lo[0], dev.span_bias[0],
+                    dev.clause_mask,
+                )
+                return ODEState(v, xs, xl, dt, done)
+
+            sharded = shard_map(
+                chunk_local,
+                mesh=mesh,
+                in_specs=(STATE_SPECS, _dev_specs(True)),
+                out_specs=STATE_SPECS,
+                check_vma=False,
+            )
+            return jax.jit(sharded, donate_argnums=0)
         if eligible:
             fused_step = make_fused_clause_step(fa, zeta, ode, clause_axis="clause")
 

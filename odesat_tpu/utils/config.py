@@ -63,6 +63,12 @@ class ODEConfig:
     #                      through trajectories, which cannot vmap — the
     #                      batch-max is the faithful SPMD rendering)
     dt_mode: str = "per-trajectory"
+    # clause-mesh whole-chunk kernel with the dv all-reduce done INSIDE
+    # the kernel via Pallas remote DMA over ICI (ops/shard_chunk.py) —
+    # prototype flag; needs a power-of-two clause axis. Off by default:
+    # the collective path is interpret-validated on the CPU mesh but has
+    # never run on real multi-chip hardware (RESULTS.md known gap #0).
+    shard_chunk: bool = False
 
     def resolve_zeta(self, density: float) -> float:
         return self.zeta if self.zeta is not None else zeta_for_density(density)

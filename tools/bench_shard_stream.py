@@ -59,6 +59,26 @@ def main():
     rate_shard, _ = measure_throughput(runner, state, dev, chunk, B, iters=3)
     print(f"shard-stream RHS (S=1): {rate_shard:.3e} traj*steps/s")
 
+    # whole-chunk clause-shard kernel at S=1 (in-kernel reduce degenerates;
+    # validates + prices the non-collective body on real hardware)
+    from odesat_tpu.ops.shard_chunk import make_shard_chunk_call
+
+    call = make_shard_chunk_call(fa, 0.001, ode, chunk)
+
+    def chunk_runner(st, dv):
+        v, xs, xl, dt2, done = call(
+            st.v, st.xs, st.xl, st.dt, st.done,
+            dv.planes[0], dv.span_lo[0], dv.span_bias[0], dv.clause_mask,
+        )
+        from odesat_tpu.models.ode import ODEState
+
+        return ODEState(v, xs, xl, dt2, done)
+
+    jit_chunk = jax.jit(chunk_runner, donate_argnums=0)
+    state_c = init_state(fa, B, jax.random.PRNGKey(0), ode)
+    rate_sc, _ = measure_throughput(jit_chunk, state_c, dev, chunk, B, iters=3)
+    print(f"shard-chunk kernel (S=1, whole chunk): {rate_sc:.3e} traj*steps/s")
+
     # whole-chunk stream kernel on the same instance (its own layout)
     from odesat_tpu.cnf.arrays import compile_formula
 
@@ -69,7 +89,8 @@ def main():
     dev2 = formula_device(fa2)
     rate_chunk, _ = measure_throughput(kern, state2, dev2, chunk, B, iters=3)
     print(f"whole-chunk stream kernel: {rate_chunk:.3e} traj*steps/s")
-    print(f"shard overhead factor: {rate_chunk / rate_shard:.2f}x")
+    print(f"per-step-launch overhead factor: {rate_chunk / rate_shard:.2f}x")
+    print(f"shard-chunk overhead factor: {rate_chunk / rate_sc:.2f}x")
 
 
 if __name__ == "__main__":
