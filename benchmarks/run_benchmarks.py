@@ -216,10 +216,25 @@ def main():
         ),
     }
 
-    # --- config 5b: uf250 median time-to-solution (north-star metric) -----
+    # --- config 5b: uf250 time-to-solution (north-star metric) ------------
+    # Load-robust protocol (round-2 VERDICT item 6; full version with
+    # dispatch-latency separation in tools/uf250_tts.py): report the
+    # deterministic steps-to-solution and its conversion at the measured
+    # kernel rate alongside wall clock, so host/tunnel noise is visible
+    # instead of absorbed into the headline.
     from odesat_tpu.utils.generate import uf_instance
 
+    b_tts = 1024 if q else 4096
+    inst0 = uf_instance(250, seed=0)
+    _, norm0 = normalize_cnf_variables(inst0)
+    rate_tts = throughput(
+        compile_formula(norm0),
+        ODEConfig(step_size=0.01, matmul_dtype="bfloat16"),
+        batch=b_tts,
+        chunk=200 if q else 2000,
+    )
     tts = []
+    steps_list = []
     solved_n = 0
     n_seeds = 3 if q else 5
     for seed in range(n_seeds):
@@ -227,18 +242,22 @@ def main():
         _, norm_i = normalize_cnf_variables(inst)
         cfg = SolverConfig(
             ode=ODEConfig(step_size=0.01, steps=20000, matmul_dtype="bfloat16"),
-            batch_size=1024 if q else 4096,
+            batch_size=b_tts,
             seed=seed,
             chunk_steps=500,
         )
         t0 = time.perf_counter()
         res = simulate_batch(norm_i, cfg)
         tts.append(time.perf_counter() - t0)
+        steps_list.append(res.steps)
         solved_n += int(res.any_solved)
     results["configs"]["uf250_median_tts"] = {
-        "median_tts_s": float(np.median(tts)),
+        "median_steps_to_solution": int(np.median(steps_list)),
+        "compute_tts_s": float(np.median(steps_list) * b_tts / rate_tts),
+        "median_wall_s": float(np.median(tts)),
         "solved": f"{solved_n}/{n_seeds}",
-        "note": "planted uf250-class, fixed dt, stop on first allsat trajectory",
+        "note": "steps-to-solution is deterministic per seed (chunk-granular); "
+        "wall - compute = host/dispatch share (see tools/uf250_tts.py)",
     }
 
     # --- config 6: locally-structured n=4096 (windowed streaming) ---------
@@ -281,7 +300,29 @@ def main():
     rate7, _ = _mt(runner7, st7, dev7, chunk7, b7, iters=3)
     results["configs"]["local3sat_n10240_shard_rhs"] = {
         "traj_steps_per_sec": rate7,
-        "note": "clause-shard streaming RHS at S=1; per-shard rate of the multi-chip path",
+        "note": "clause-shard per-step launch path at S=1; per-shard rate of the multi-chip path",
+    }
+
+    # --- config 7b: same instance through the whole-chunk clause-shard
+    # kernel (in-kernel all-reduce; degenerate at S=1 — ops/shard_chunk.py)
+    from odesat_tpu.models.ode import ODEState
+    from odesat_tpu.ops.shard_chunk import make_shard_chunk_call
+
+    call7 = make_shard_chunk_call(fa7, 0.001, ode7, chunk7)
+
+    def chunk7_runner(st, dv):
+        v, xs, xl, dt2, done = call7(
+            st.v, st.xs, st.xl, st.dt, st.done,
+            dv.planes[0], dv.span_lo[0], dv.span_bias[0], dv.clause_mask,
+        )
+        return ODEState(v, xs, xl, dt2, done)
+
+    jit7 = jax.jit(chunk7_runner, donate_argnums=0)
+    st7b = init_state(fa7, b7, jax.random.PRNGKey(0), ode7)
+    rate7b, _ = _mt(jit7, st7b, dev7, chunk7, b7, iters=3)
+    results["configs"]["local3sat_n10240_shard_chunk"] = {
+        "traj_steps_per_sec": rate7b,
+        "note": "whole-chunk clause-shard kernel (--shard-chunk) at S=1",
     }
 
     out = os.path.join(HERE, "results.json")

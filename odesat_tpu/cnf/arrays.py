@@ -102,6 +102,26 @@ def _make_buckets(widths, min_bucket: int):
     return buckets
 
 
+def slot_clause_map(fa: "FormulaArrays") -> np.ndarray:
+    """Map each flat contribution slot — the layout ``var_occ`` indexes:
+    concatenated per-bucket ``(K_b, M_b)`` blocks (see the occurrence
+    construction in :func:`compile_formula` and
+    ops/shard_stream.compile_stream_sharded) — to its clause column.
+    ``slot_clause_map(fa)[fa.var_occ]`` therefore gives, per variable
+    occurrence, the clause that occurrence lives in, valid for every
+    layout (single-bucket, width-bucketed, clause-shard plan)."""
+    bucket_slices = fa.bucket_slices or ((0, fa.n_clauses_padded, fa.max_width),)
+    out = np.zeros((max(fa.n_slots, 1),), dtype=np.int32)
+    off = 0
+    for m0, m1, Kb in bucket_slices:
+        Mb = m1 - m0
+        cols = np.arange(m0, m1, dtype=np.int32)
+        for k in range(Kb):
+            out[off + k * Mb : off + (k + 1) * Mb] = cols
+        off += Kb * Mb
+    return out
+
+
 def compile_formula(
     formula: CNFFormula,
     *,

@@ -72,11 +72,17 @@ def init_stoch_state(fa: FormulaArrays, batch_size: int, key: jax.Array) -> Stoc
 
 
 def make_stoch_step(fa: FormulaArrays):
+    from odesat_tpu.cnf.arrays import slot_clause_map
+
     lit_var = jnp.asarray(fa.lit_var)  # (K, M)
     pos = jnp.asarray(fa.sign > 0)
     lit_mask = jnp.asarray(fa.lit_mask > 0)
     clause_mask = jnp.asarray(fa.clause_mask > 0)  # (M,)
-    var_occ = jnp.asarray(fa.var_occ)  # (N, D)
+    # var_occ indexes the bucket-major flat slot layout (cnf/arrays.py);
+    # compose with the slot->clause map so the weight gather is correct
+    # for bucketed and clause-shard-plan layouts too, not just the
+    # single-bucket layout where slot == k*M + m
+    occ_clause = jnp.asarray(slot_clause_map(fa)[fa.var_occ])  # (N, D)
     occ_mask = jnp.asarray(fa.occ_mask > 0)
     has_occ = jnp.asarray(fa.occ_mask.sum(axis=-1) > 0)  # vars with any clause
     K, M = fa.lit_var.shape
@@ -97,14 +103,9 @@ def make_stoch_step(fa: FormulaArrays):
 
         # per-variable weight sums via variable-major gather
         xl_f = xl.astype(jnp.float32)
-        xl_lit = jnp.broadcast_to(xl_f[:, None, :], (xl.shape[0], K, M)).reshape(
-            xl.shape[0], K * M
-        )
-        unsat_lit = jnp.broadcast_to(
-            (xl_f * (~sat)).astype(jnp.float32)[:, None, :], (xl.shape[0], K, M)
-        ).reshape(xl.shape[0], K * M)
-        total = jnp.sum(xl_lit[:, var_occ] * occ_mask, axis=-1)  # (B, N)
-        unsat_w = jnp.sum(unsat_lit[:, var_occ] * occ_mask, axis=-1)
+        unsat_f = (xl_f * (~sat)).astype(jnp.float32)
+        total = jnp.sum(xl_f[:, occ_clause] * occ_mask, axis=-1)  # (B, N)
+        unsat_w = jnp.sum(unsat_f[:, occ_clause] * occ_mask, axis=-1)
 
         u = jax.random.uniform(sub, total.shape, dtype=jnp.float32)
         flip = (u * total < unsat_w) & has_occ
@@ -259,17 +260,22 @@ def search(
     (seed, mesh traj width)."""
     config = config or SolverConfig()
     n_clause = mesh.shape.get("clause", 1) if mesh is not None else 1
-    fa = (
-        formula_or_arrays
-        if isinstance(formula_or_arrays, FormulaArrays)
-        else compile_formula(
+    if isinstance(formula_or_arrays, FormulaArrays):
+        fa = formula_or_arrays
+    elif n_clause > 1:
+        # mesh-aware compile: the clause-shard plan layout unlocks the
+        # per-shard Pallas evaluation (ops/stoch_pallas) when eligible;
+        # plain even-padded layout (scan path) otherwise
+        from odesat_tpu.parallel.sharded import compile_for_mesh
+
+        fa = compile_for_mesh(formula_or_arrays, config, mesh)
+    else:
+        fa = compile_formula(
             formula_or_arrays,
-            # the clause axis must divide evenly across the mesh
             clause_pad=config.clause_pad * n_clause,
             var_pad=config.var_pad,
             window_sort=config.window_sort,
         )
-    )
     if key is None:
         seed = config.seed if config.seed is not None else int.from_bytes(__import__("os").urandom(4), "little")
         key = jax.random.PRNGKey(seed)

@@ -596,3 +596,270 @@ def make_stream_stoch_chunk(
     return lambda state: jitted(
         state, G_host, bias_host, sign_host, cmask_host, has_occ_host
     )
+
+
+# ---------------------------------------------------------------------------
+# clause-sharded per-shard evaluation kernel (round-3: the clause-mesh
+# stoch path was scan-only, 10-20x slower than its own kernels — the
+# huge CNFs the clause axis exists for deserve the fast path too)
+# ---------------------------------------------------------------------------
+
+
+def make_stoch_shard_eval(
+    fa: FormulaArrays,
+    interpret: bool | None = None,
+    traj_block: int | None = None,
+    matmul_dtype: str = "float32",
+):
+    """Build ``eval(v01, xl, active, planes, lo, sbias, nsign, cmask) ->
+    (total_partial, unsat_partial, xl_new, sat_all)`` for ONE shard's
+    local clause slice (runs inside shard_map; the caller psums the
+    per-variable weight partials and AND-reduces sat_all over the clause
+    axis, then draws the flips — models/stoch.make_stoch_clause_step's
+    collective plumbing with the heavy part in Pallas).
+
+    Reuses the ODE shard plan's windowed sign-baked planes
+    (ops/shard_stream.compile_stream_sharded): each plane column holds
+    ``-q`` at the literal's variable row, so
+
+    * ``lit_true_k = sbias_k - (v01win @ plane_k)`` is the exact 0/1
+      literal truth (``sbias_k`` = 1 for negated literals) — one
+      nonzero per column makes the matmul the plain gather;
+    * scattering ``w * (-q)`` back through the same planes accumulates
+      ``w * q^2 = w`` at the variable row (``nsign`` = ``-q`` per slot).
+
+    Weight arithmetic is integer-valued in f32 (weights clamped to
+    2**24), so with ``matmul_dtype='float32'`` (HIGHEST precision) the
+    partials are exact and the flip stream matches the scan path bit
+    for bit; ``'bfloat16'`` rounds the weight sums (~8-bit relative)
+    like the single-device stoch kernels — clause evaluation stays
+    exact either way. Reference anchor: the weight sums,
+    src/stoch.rs:53-59."""
+    from odesat_tpu.ops.shard_stream import (
+        SPAN,
+        _block_footprint,
+        _pick_traj_block,
+        _VMEM_BUDGET,
+    )
+
+    plan = fa.shard_plan
+    if plan is None:
+        raise ValueError("needs a compile_stream_sharded formula (shard plan)")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bf16 = matmul_dtype == "bfloat16"
+    mm_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    mm_precision = None if bf16 else jax.lax.Precision.HIGHEST
+    itemsize = 2 if bf16 else 4
+
+    span_meta = plan.span_meta
+    S = len(span_meta)
+    Np = plan.n_vars_padded
+    Mp = plan.mp_local
+    Kmax = max(kb for _, kb, _, _ in span_meta)
+    R = plan.planes.shape[1]
+    alpha = float(STOCH_ALPHA)
+
+    def kernel(lo_ref, v_ref, act_ref, xl_ref, sbias_ref, nsign_ref, cmask_ref,
+               g_ref,
+               tot_out, uns_out, xl_out, sat_out,
+               gbuf, iobuf, v16_ref, sat_ref,
+               gsem, rsem, wsem):
+        i = pl.program_id(0)
+        Bb = v_ref.shape[0]
+        rows = pl.ds(i * Bb, Bb)
+        v16_ref[:] = v_ref[:].astype(mm_dtype)
+        tot_out[:] = jnp.zeros_like(tot_out)
+        uns_out[:] = jnp.zeros_like(uns_out)
+        sat_ref[:] = jnp.ones_like(sat_ref)
+        active = act_ref[:] > 0.5  # (Bb, 1)
+
+        def g_dma(sp, slot):
+            r0, kb, w, _ = span_meta[sp]
+            return pltpu.make_async_copy(
+                g_ref.at[r0 : r0 + kb * w], gbuf.at[slot, : kb * w], gsem.at[slot]
+            )
+
+        def read_dma(sp, slot):
+            c0 = span_meta[sp][3]
+            return pltpu.make_async_copy(
+                xl_ref.at[rows, pl.ds(c0, SPAN)],
+                iobuf.at[slot, 0],
+                rsem.at[slot],
+            )
+
+        def write_dma(sp, slot):
+            c0 = span_meta[sp][3]
+            return pltpu.make_async_copy(
+                iobuf.at[slot, 1],
+                xl_out.at[rows, pl.ds(c0, SPAN)],
+                wsem.at[slot],
+            )
+
+        g_dma(0, 0).start()
+        read_dma(0, 0).start()
+        for sp in range(S):
+            slot = sp % 2
+            if sp + 1 < S:
+                nslot = (sp + 1) % 2
+                g_dma(sp + 1, nslot).start()
+                read_dma(sp + 1, nslot).start()
+            g_dma(sp, slot).wait()
+            read_dma(sp, slot).wait()
+            r0, kb, w, c0 = span_meta[sp]
+            lo = pl.multiple_of(lo_ref[sp], SPAN)
+            vwin = v16_ref[:, pl.ds(lo, w)]
+            xl0 = iobuf[slot, 0]
+            cmask = cmask_ref[:, c0 : c0 + SPAN]
+
+            sat = None
+            for k in range(kb):
+                lit_true = sbias_ref[k : k + 1, c0 : c0 + SPAN] - jnp.dot(
+                    vwin,
+                    gbuf[slot, k * w : (k + 1) * w],
+                    preferred_element_type=jnp.float32,
+                    precision=mm_precision,
+                )
+                sat = lit_true if sat is None else jnp.maximum(sat, lit_true)
+
+            # weight update with post-update weights feeding the sums
+            # (src/stoch.rs:47-59); padding slots carry weight 0
+            xl_new = jnp.where(
+                sat > 0.5,
+                jnp.maximum(xl0 - 1.0, 1.0),
+                jnp.minimum(xl0 + alpha, XL_CAP),
+            ) * cmask
+            unsat_w = xl_new * (1.0 - sat)
+            for k in range(kb):
+                nsign = nsign_ref[k : k + 1, c0 : c0 + SPAN]
+                tot_out[:, pl.ds(lo, w)] = tot_out[:, pl.ds(lo, w)] + jax.lax.dot_general(
+                    (xl_new * nsign).astype(mm_dtype),
+                    gbuf[slot, k * w : (k + 1) * w],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mm_precision,
+                )
+                uns_out[:, pl.ds(lo, w)] = uns_out[:, pl.ds(lo, w)] + jax.lax.dot_general(
+                    (unsat_w * nsign).astype(mm_dtype),
+                    gbuf[slot, k * w : (k + 1) * w],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mm_precision,
+                )
+            sat_ref[:] = jnp.minimum(
+                sat_ref[:],
+                jnp.min(jnp.where(cmask > 0, sat, 1.0), axis=1, keepdims=True),
+            )
+            if sp >= 2:
+                write_dma(sp - 2, slot).wait()
+            # frozen chains keep their weights verbatim (models/stoch.py
+            # freeze keeps state.xl including padding slots)
+            iobuf[slot, 1] = jnp.where(active, xl_new, xl0)
+            write_dma(sp, slot).start()
+        for sp in (S - 2, S - 1):
+            if sp >= 0:
+                write_dma(sp, sp % 2).wait()
+        sat_out[:] = sat_ref[:]
+
+    def eval_fn(v01, xl, active, planes, lo, sbias, nsign, cmask):
+        B = v01.shape[0]
+        Bb = traj_block or _pick_traj_block(
+            B, Np, Mp, plan.max_group_rows, itemsize, Kmax, channels=2
+        )
+        while Bb > 8 and B % Bb:
+            Bb //= 2
+        grid = (B // Bb,) if B % Bb == 0 else (1,)
+        if B % Bb:
+            if (
+                _block_footprint(B, Np, Mp, plan.max_group_rows, itemsize, Kmax, 2)
+                > _VMEM_BUDGET
+            ):
+                raise ValueError(
+                    f"batch size {B} has no power-of-two divisor >= 8 and is "
+                    "too large for a single VMEM block; use a batch size "
+                    "divisible by 8"
+                )
+            Bb = B
+
+        row_blk = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        )
+        const_blk = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i, *_: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                row_blk((Bb, Np)),
+                row_blk((Bb, 1)),  # active
+                any_spec,  # xl: span-streamed
+                const_blk(sbias.shape),
+                const_blk(nsign.shape),
+                const_blk((1, Mp)),
+                any_spec,  # planes
+            ],
+            out_specs=[
+                row_blk((Bb, Np)),
+                row_blk((Bb, Np)),
+                any_spec,  # xl_new
+                row_blk((Bb, 1)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, plan.max_group_rows, SPAN), mm_dtype),
+                pltpu.VMEM((2, 2, Bb, SPAN), jnp.float32),
+                pltpu.VMEM((Bb, Np), mm_dtype),
+                pltpu.VMEM((Bb, 1), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        tot, uns, xl_new, sat = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((B, Np), jnp.float32),
+                jax.ShapeDtypeStruct((B, Np), jnp.float32),
+                jax.ShapeDtypeStruct((B, Mp), jnp.float32),
+                jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=_VMEM_BUDGET + 32 * 1024 * 1024,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=12 * B * R * SPAN,
+                bytes_accessed=(B // Bb) * R * SPAN * itemsize + 2 * B * Mp * 4,
+                transcendentals=0,
+            ),
+        )(
+            lo,
+            v01.astype(jnp.float32),
+            active.reshape(B, 1).astype(jnp.float32),
+            xl,
+            sbias,
+            nsign,
+            cmask.reshape(1, Mp).astype(jnp.float32),
+            planes.astype(mm_dtype),
+        )
+        return tot, uns, xl_new, sat.reshape(B) > 0.5
+
+    return eval_fn
+
+
+def stoch_shard_arrays(fa: FormulaArrays):
+    """Per-shard (S, K, Mp_local) stoch companions to the ODE shard
+    plan's planes: ``sbias`` (1 where the literal is negated) and
+    ``nsign`` (``-q`` per slot, 0 at padding) — see
+    :func:`make_stoch_shard_eval`."""
+    plan = fa.shard_plan
+    S, Mp = plan.n_shards, plan.mp_local
+    K = fa.lit_var.shape[0]
+    sign = fa.sign.reshape(K, S, Mp).transpose(1, 0, 2)  # (S, K, Mp_local)
+    mask = fa.lit_mask.reshape(K, S, Mp).transpose(1, 0, 2) > 0
+    sbias = ((sign < 0) & mask).astype(np.float32)
+    nsign = (-sign * mask).astype(np.float32)
+    return sbias, nsign

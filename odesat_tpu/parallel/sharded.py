@@ -334,13 +334,85 @@ def make_sharded_stoch_runner(
         make_stoch_clause_step,
     )
 
-    if mesh.shape.get("clause", 1) > 1:
-        from odesat_tpu.models.ode import formula_device
+    n_clause = mesh.shape.get("clause", 1)
+    if n_clause > 1:
+        import jax.numpy as jnp
 
-        step = make_stoch_clause_step("clause")
+        from odesat_tpu.models.ode import formula_device
+        from odesat_tpu.parallel.dist import put_global
+
+        plan = fa.shard_plan
         specs = StochState(
             v=P("traj"), xl=P("traj", "clause"), done=P("traj"), key=P("traj")
         )
+        if plan is not None and plan.n_shards == n_clause:
+            # per-shard Pallas evaluation over the ODE plan's windowed
+            # planes (ops/stoch_pallas.make_stoch_shard_eval); only the
+            # weight-sum psums, the flip draw, and the (B,)-sized
+            # bookkeeping run in XLA. f32 partials are exact, so the
+            # flip stream matches the scan path bit for bit.
+            from odesat_tpu.ops.stoch_pallas import (
+                make_stoch_shard_eval,
+                stoch_shard_arrays,
+            )
+
+            ev = make_stoch_shard_eval(fa, matmul_dtype=matmul_dtype)
+            sbias_np, nsign_np = stoch_shard_arrays(fa)
+
+            def kstep(state: StochState, args) -> StochState:
+                planes, lo, sbias, nsign, cmask = args
+                key, sub = jax.random.split(state.key)
+                active = ~state.done
+                tot, uns, xl_new, sat_all = ev(
+                    state.v.astype(jnp.float32),
+                    state.xl.astype(jnp.float32),
+                    active,
+                    planes[0], lo[0], sbias[0], nsign[0], cmask,
+                )
+                tot = jax.lax.psum(tot, "clause")
+                uns = jax.lax.psum(uns, "clause")
+                all_sat = (
+                    jax.lax.psum((~sat_all).astype(jnp.int32), "clause") == 0
+                )
+                u = jax.random.uniform(sub, tot.shape, dtype=jnp.float32)
+                flip = u * tot < uns
+                v = jnp.where(active[:, None] & flip, ~state.v, state.v)
+                done = state.done | all_sat
+                return StochState(v, xl_new.astype(jnp.int32), done, key)
+
+            def local(state: StochState, args) -> StochState:
+                st = StochState(state.v, state.xl, state.done, state.key[0])
+
+                def body(carry, _):
+                    return kstep(carry, args), None
+
+                out, _ = jax.lax.scan(body, st, None, length=chunk_steps)
+                return StochState(out.v, out.xl, out.done, out.key[None])
+
+            arg_specs = (P("clause"), P("clause"), P("clause"), P("clause"), P("clause"))
+            sharded = shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(specs, arg_specs),
+                out_specs=specs,
+                check_vma=False,  # pallas outputs carry no vma info
+            )
+            jitted = jax.jit(sharded, donate_argnums=0)
+            mm = jnp.bfloat16 if matmul_dtype == "bfloat16" else jnp.float32
+            args = (
+                jnp.asarray(plan.planes).astype(mm),
+                jnp.asarray(plan.lo),
+                jnp.asarray(sbias_np),
+                jnp.asarray(nsign_np),
+                jnp.asarray(fa.clause_mask),
+            )
+            args = tuple(
+                put_global(a, NamedSharding(mesh, s))
+                for a, s in zip(args, arg_specs)
+            )
+            return lambda state: jitted(state, args)
+
+        step = make_stoch_clause_step("clause")
         dspecs = _dev_specs(False)
 
         def local(state: StochState, dev: FormulaDevice) -> StochState:
@@ -356,8 +428,6 @@ def make_sharded_stoch_runner(
             local, mesh=mesh, in_specs=(specs, dspecs), out_specs=specs
         )
         jitted = jax.jit(sharded, donate_argnums=0)
-        from odesat_tpu.parallel.dist import put_global
-
         dev = formula_device(fa)
         dev = FormulaDevice(*dev[:6], planes=None, span_lo=None, span_bias=None)
         dev = jax.tree.map(

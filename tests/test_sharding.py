@@ -336,6 +336,40 @@ def test_stoch_clause_sharded_matches_traj_only(data_dir):
     np.testing.assert_array_equal(np.asarray(out1.done), np.asarray(out2.done))
 
 
+def test_stoch_clause_kernel_matches_scan_exactly():
+    """The per-shard Pallas stoch evaluation (plan layout) must match
+    the scan path chain for chain: f32 weight partials are exact
+    integers, and the flip stream is the same jax.random stream."""
+    from odesat_tpu.cnf import normalize_cnf_variables as _norm
+    from odesat_tpu.models.stoch import StochState, init_stoch_state
+    from odesat_tpu.ops.shard_stream import compile_stream_sharded
+    from odesat_tpu.parallel.sharded import (
+        make_sharded_stoch_runner,
+        shard_stoch_inputs,
+    )
+    from odesat_tpu.utils.generate import random_ksat
+
+    formula = random_ksat(96, 420, k=3, seed=12, planted=True)
+    _, normalized = _norm(formula)
+    fa, plan = compile_stream_sharded(normalized, 4)
+
+    key = jax.random.PRNGKey(21)
+    base = init_stoch_state(fa, 8, key)
+    keys = jax.random.split(key, 2)
+
+    mesh_cl = make_mesh(2, 4)
+    st1 = shard_stoch_inputs(StochState(base.v, base.xl, base.done, keys), mesh_cl)
+    out1 = make_sharded_stoch_runner(fa, 12, mesh_cl)(st1)
+
+    mesh_tr = make_mesh(2, 1, devices=jax.devices()[:2])
+    st2 = shard_stoch_inputs(StochState(base.v, base.xl, base.done, keys), mesh_tr)
+    out2 = make_sharded_stoch_runner(fa, 12, mesh_tr)(st2)
+
+    np.testing.assert_array_equal(np.asarray(out1.v), np.asarray(out2.v))
+    np.testing.assert_array_equal(np.asarray(out1.xl), np.asarray(out2.xl))
+    np.testing.assert_array_equal(np.asarray(out1.done), np.asarray(out2.done))
+
+
 def test_stoch_search_on_clause_mesh(data_dir):
     """End-to-end search() over a clause mesh solves a small instance."""
     from odesat_tpu.cnf import normalize_cnf_variables as _norm
