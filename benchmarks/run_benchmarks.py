@@ -325,6 +325,55 @@ def main():
         "note": "whole-chunk clause-shard kernel (--shard-chunk) at S=1",
     }
 
+    # --- config 7c: stochastic engine on the same instance via the
+    # per-shard stoch kernel (ops/stoch_pallas.make_stoch_shard_eval) —
+    # the clause-mesh stoch path's per-shard building block at S=1
+    import jax.numpy as jnp
+
+    from odesat_tpu.models.stoch import StochState, init_stoch_state
+    from odesat_tpu.ops.stoch_pallas import (
+        make_stoch_shard_eval,
+        stoch_shard_arrays,
+    )
+
+    ev7 = make_stoch_shard_eval(fa7, matmul_dtype="bfloat16")
+    sb7, ns7 = stoch_shard_arrays(fa7)
+    sargs7 = (
+        jnp.asarray(plan7.planes[0]),
+        jnp.asarray(plan7.lo[0]),
+        jnp.asarray(sb7[0]),
+        jnp.asarray(ns7[0]),
+        jnp.asarray(fa7.clause_mask),
+    )
+
+    def stoch7_step(state, args):
+        planes, lo, sbias, nsign, cmask = args
+        key, sub = jax.random.split(state.key)
+        active = ~state.done
+        tot, uns, xl_new, sat_all = ev7(
+            state.v.astype(jnp.float32), state.xl.astype(jnp.float32),
+            active, planes, lo, sbias, nsign, cmask,
+        )
+        u = jax.random.uniform(sub, tot.shape, dtype=jnp.float32)
+        flip = u * tot < uns
+        v = jnp.where(active[:, None] & flip, ~state.v, state.v)
+        return StochState(v, xl_new.astype(jnp.int32), state.done | sat_all, key)
+
+    def stoch7_chunk(state, args):
+        def body(c, _):
+            return stoch7_step(c, args), None
+
+        out, _ = jax.lax.scan(body, state, None, length=chunk7)
+        return out
+
+    sjit7 = jax.jit(stoch7_chunk, donate_argnums=0)
+    sst7 = init_stoch_state(fa7, b7, jax.random.PRNGKey(0))
+    srate7, _ = _mt(sjit7, sst7, sargs7, chunk7, b7, iters=3)
+    results["configs"]["local3sat_n10240_shard_stoch"] = {
+        "chain_steps_per_sec": srate7,
+        "note": "per-shard stoch kernel at S=1 (clause-mesh stoch path building block)",
+    }
+
     out = os.path.join(HERE, "results.json")
     with open(out, "w") as fh:
         json.dump(results, fh, indent=2)
