@@ -374,6 +374,35 @@ def main():
         "note": "per-shard stoch kernel at S=1 (clause-mesh stoch path building block)",
     }
 
+    # --- config 7d: stochastic engine through the whole-chunk clause-shard
+    # kernel (in-kernel weight-sum all-reduce; degenerate at S=1) — the
+    # one-launch-per-chunk counterpart of 7c's one-launch-per-step path
+    from odesat_tpu.ops.stoch_pallas import (
+        make_stoch_shard_chunk,
+        stoch_shard_chunk_supported,
+    )
+
+    assert stoch_shard_chunk_supported(fa7, 2)
+    ch7 = make_stoch_shard_chunk(fa7, chunk7, matmul_dtype="bfloat16")
+
+    def stoch7d_runner(state, args):
+        planes, lo, sbias, nsign, cmask = args
+        key, sub = jax.random.split(state.key)
+        seed = jax.random.randint(sub, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+        v, xl, done = ch7(
+            state.v.astype(jnp.float32), state.xl.astype(jnp.float32),
+            state.done, seed, planes, lo, sbias, nsign, cmask,
+        )
+        return StochState(v > 0.5, xl.astype(jnp.int32), done, key)
+
+    djit7 = jax.jit(stoch7d_runner, donate_argnums=0)
+    dst7 = init_stoch_state(fa7, b7, jax.random.PRNGKey(0))
+    drate7, _ = _mt(djit7, dst7, sargs7, chunk7, b7, iters=3)
+    results["configs"]["local3sat_n10240_shard_stoch_chunk"] = {
+        "chain_steps_per_sec": drate7,
+        "note": "whole-chunk clause-shard stoch kernel (--shard-chunk) at S=1",
+    }
+
     out = os.path.join(HERE, "results.json")
     with open(out, "w") as fh:
         json.dump(results, fh, indent=2)

@@ -143,8 +143,15 @@ def hybrid_search(
                 f"{n_traj} trajectory devices"
             )
         ode_runner = make_sharded_chunk_runner(fa, zeta, ode, chunk, mesh)
+        stoch_shard_chunk = bool(
+            ode.shard_chunk and mesh.shape.get("clause", 1) > 1
+        )
         stoch_runner = make_sharded_stoch_runner(
-            fa, chunk, mesh, matmul_dtype=ode.matmul_dtype
+            fa,
+            chunk,
+            mesh,
+            matmul_dtype=ode.matmul_dtype,
+            shard_chunk=stoch_shard_chunk,
         )
         ode_state, dev = shard_inputs(ode_state, dev, mesh)
         if not resumed:
@@ -175,7 +182,11 @@ def hybrid_search(
             )
 
             return _mscr(fa, zeta, ode, n, mesh), _mssr(
-                fa, n, mesh, matmul_dtype=ode.matmul_dtype
+                fa,
+                n,
+                mesh,
+                matmul_dtype=ode.matmul_dtype,
+                shard_chunk=stoch_shard_chunk,
             )
         return (
             make_chunk_runner(fa, zeta, ode, n),

@@ -301,7 +301,11 @@ def search(
 
         def make_runner(n):
             return make_sharded_stoch_runner(
-                fa, n, mesh, matmul_dtype=config.ode.matmul_dtype
+                fa,
+                n,
+                mesh,
+                matmul_dtype=config.ode.matmul_dtype,
+                shard_chunk=config.ode.shard_chunk and n_clause > 1,
             )
 
     else:

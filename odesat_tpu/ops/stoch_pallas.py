@@ -466,23 +466,23 @@ def make_stream_stoch_chunk(
                 unsat_f = 1.0 - sat
                 for k in range(kb):
                     wk = xl_new * sign_ref[k : k + 1, c0 : c0 + SPAN]
-                    total_ref[:, lo : lo + w] = total_ref[
-                        :, lo : lo + w
-                    ] + jax.lax.dot_general(
-                        wk.astype(mm_dtype),
+                    # total and unsat scatters share the plane operand:
+                    # one row-stacked matmul instead of two halves the
+                    # MXU launches per (span, k) at identical flops
+                    both = jax.lax.dot_general(
+                        jnp.concatenate([wk, wk * unsat_f], axis=0).astype(
+                            mm_dtype
+                        ),
                         gbuf[slot, k * w : (k + 1) * w],
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=mm_precision,
                     )
-                    unsat_ref[:, lo : lo + w] = unsat_ref[
-                        :, lo : lo + w
-                    ] + jax.lax.dot_general(
-                        (wk * unsat_f).astype(mm_dtype),
-                        gbuf[slot, k * w : (k + 1) * w],
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=mm_precision,
+                    total_ref[:, lo : lo + w] = (
+                        total_ref[:, lo : lo + w] + both[:Bb]
+                    )
+                    unsat_ref[:, lo : lo + w] = (
+                        unsat_ref[:, lo : lo + w] + both[Bb:]
                     )
                 span_all = jnp.min(
                     jnp.where(cmask > 0, sat, 1.0), axis=1, keepdims=True
@@ -732,20 +732,18 @@ def make_stoch_shard_eval(
             unsat_w = xl_new * (1.0 - sat)
             for k in range(kb):
                 nsign = nsign_ref[k : k + 1, c0 : c0 + SPAN]
-                tot_out[:, pl.ds(lo, w)] = tot_out[:, pl.ds(lo, w)] + jax.lax.dot_general(
-                    (xl_new * nsign).astype(mm_dtype),
+                # row-stacked (total ‖ unsat) scatter: one matmul, not two
+                both = jax.lax.dot_general(
+                    jnp.concatenate(
+                        [xl_new * nsign, unsat_w * nsign], axis=0
+                    ).astype(mm_dtype),
                     gbuf[slot, k * w : (k + 1) * w],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=mm_precision,
                 )
-                uns_out[:, pl.ds(lo, w)] = uns_out[:, pl.ds(lo, w)] + jax.lax.dot_general(
-                    (unsat_w * nsign).astype(mm_dtype),
-                    gbuf[slot, k * w : (k + 1) * w],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=mm_precision,
-                )
+                tot_out[:, pl.ds(lo, w)] = tot_out[:, pl.ds(lo, w)] + both[:Bb]
+                uns_out[:, pl.ds(lo, w)] = uns_out[:, pl.ds(lo, w)] + both[Bb:]
             sat_ref[:] = jnp.minimum(
                 sat_ref[:],
                 jnp.min(jnp.where(cmask > 0, sat, 1.0), axis=1, keepdims=True),
@@ -848,6 +846,355 @@ def make_stoch_shard_eval(
         return tot, uns, xl_new, sat.reshape(B) > 0.5
 
     return eval_fn
+
+
+def stoch_shard_chunk_supported(fa: FormulaArrays, itemsize: int = 4) -> bool:
+    """Whole-chunk clause-sharded stoch kernel eligibility: a shard plan
+    whose shard count is a power of two (the butterfly all-reduce's
+    requirement), plane HBM within budget, 128-aligned variable axis."""
+    from odesat_tpu.ops.shard_stream import _G_HBM_LIMIT, _VMEM_BUDGET, SPAN
+
+    plan = fa.shard_plan
+    if plan is None:
+        return False
+    s = plan.n_shards
+    K = fa.lit_var.shape[0]
+    const_vmem = (2 * K + 1) * plan.mp_local * 4  # sbias + nsign + cmask
+    return (
+        (s & (s - 1)) == 0
+        and plan.planes.shape[1] * SPAN * itemsize <= _G_HBM_LIMIT
+        and plan.n_vars_padded % SPAN == 0
+        and const_vmem <= _VMEM_BUDGET // 3
+    )
+
+
+def make_stoch_shard_chunk(
+    fa: FormulaArrays,
+    chunk_steps: int,
+    interpret: bool | None = None,
+    traj_block: int | None = None,
+    matmul_dtype: str = "float32",
+    ring_axis: str = "clause",
+):
+    """Whole-chunk clause-sharded stoch kernel for use INSIDE shard_map:
+    ``call(v01, xl, done, seed, planes, lo, sbias, nsign, cmask) ->
+    (v01, xl, done)`` advancing ``chunk_steps`` flip steps with the
+    per-variable weight-sum all-reduce done IN-kernel — a butterfly
+    (recursive-doubling) exchange over ICI remote DMA, exactly the
+    ops/shard_chunk.py collective with (total ‖ unsat) adds and a
+    min-combined allsat flag riding a 128-lane extension.
+
+    v/done stay resident in VMEM across the chunk; the shard-local xl
+    spans stream through a small staging buffer. Flips draw from the
+    same counter-based murmur3 PRNG as :func:`make_fused_stoch_chunk`,
+    seeded identically on every clause shard (the wrapper derives
+    ``seed`` from the clause-replicated trajectory key), and the summed
+    (total, unsat) are bit-identical everywhere (integer-valued f32 +
+    order-symmetric butterfly), so the replicated v never drifts across
+    the clause axis. Weight-sum exactness: f32 matmuls keep the sums
+    exact; ``matmul_dtype='bfloat16'`` rounds them (~8-bit relative)
+    like the other stoch kernels. Reference anchors: the weight sums,
+    src/stoch.rs:53-59; flip rule, src/stoch.rs:67-75.
+    """
+    from odesat_tpu.ops.shard_stream import (
+        SPAN,
+        _block_footprint,
+        _pick_traj_block,
+        _VMEM_BUDGET,
+    )
+
+    plan = fa.shard_plan
+    if plan is None:
+        raise ValueError("needs a compile_stream_sharded formula (shard plan)")
+    n_shards = plan.n_shards
+    if n_shards & (n_shards - 1):
+        raise ValueError("stoch shard_chunk needs a power-of-two clause axis")
+    n_rounds = n_shards.bit_length() - 1
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bf16 = matmul_dtype == "bfloat16"
+    mm_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    mm_precision = None if bf16 else jax.lax.Precision.HIGHEST
+    itemsize = 2 if bf16 else 4
+
+    span_meta = plan.span_meta
+    S = len(span_meta)
+    Np = plan.n_vars_padded
+    Mp = plan.mp_local
+    Kmax = max(kb for _, kb, _, _ in span_meta)
+    R = plan.planes.shape[1]
+    alpha = float(STOCH_ALPHA)
+    EXT = SPAN  # flag lanes riding with the (total ‖ unsat) block
+
+    def kernel(lo_ref, seed_ref, v_ref, done_ref, xl_ref,
+               sbias_ref, nsign_ref, cmask_ref, g_ref,
+               v_o, done_o, xl_o,
+               gbuf, iobuf, v16_ref, acc_ref, travel_ref, sat_ref,
+               gsem, rsem, wsem, csem, ssem, rvsem):
+        i = pl.program_id(0)
+        Bb = v_ref.shape[0]
+        rows = pl.ds(i * Bb, Bb)
+        block_seed = (seed_ref[0] + i * 0x632BE59B).astype(jnp.uint32)
+
+        init_xl = pltpu.make_async_copy(xl_ref.at[rows], xl_o.at[rows], csem)
+        init_xl.start()
+        init_xl.wait()
+        v_o[:] = v_ref[:]
+        done_o[:] = done_ref[:]
+
+        def uniform01(step, shape):
+            # counter-based murmur3-finalizer uniforms, identical stream
+            # to make_fused_stoch_chunk — and identical on every clause
+            # shard (same block_seed / counters / shape)
+            r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+            c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+            x = (
+                r * jnp.uint32(0x9E3779B1)
+                ^ c * jnp.uint32(0x85EBCA77)
+                ^ (block_seed + step.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
+            )
+            x = x ^ (x >> 16)
+            x = x * jnp.uint32(0x7FEB352D)
+            x = x ^ (x >> 15)
+            x = x * jnp.uint32(0x846CA68B)
+            x = x ^ (x >> 16)
+            x24 = jax.lax.bitcast_convert_type(x >> 8, jnp.int32)
+            return x24.astype(jnp.float32) * (1.0 / 16777216.0)
+
+        def g_dma(sp, slot):
+            r0, kb, w, _ = span_meta[sp]
+            return pltpu.make_async_copy(
+                g_ref.at[r0 : r0 + kb * w], gbuf.at[slot, : kb * w], gsem.at[slot]
+            )
+
+        def read_dma(sp, slot):
+            c0 = span_meta[sp][3]
+            return pltpu.make_async_copy(
+                xl_o.at[rows, pl.ds(c0, SPAN)], iobuf.at[slot, 0], rsem.at[slot]
+            )
+
+        def write_dma(sp, slot):
+            c0 = span_meta[sp][3]
+            return pltpu.make_async_copy(
+                iobuf.at[slot, 1], xl_o.at[rows, pl.ds(c0, SPAN)], wsem.at[slot]
+            )
+
+        def allreduce():
+            """Butterfly all-reduce of acc_ref over the clause axis:
+            (total ‖ unsat) zones add, the flag zone min-combines; the
+            pairwise grouping is identical on every shard, so the result
+            is bit-identical everywhere (see ops/shard_chunk.py)."""
+            if n_rounds == 0:
+                return
+            ci = jax.lax.axis_index(ring_axis)
+            for r in range(n_rounds):
+                partner = jax.lax.bitwise_xor(ci, jnp.int32(1 << r))
+                travel_ref[0] = acc_ref[:]
+                if interpret:
+                    dev_id, dev_type = partner, pltpu.DeviceIdType.LOGICAL
+                else:
+                    dev_id, dev_type = (
+                        {ring_axis: partner},
+                        pltpu.DeviceIdType.MESH,
+                    )
+                copy = pltpu.make_async_remote_copy(
+                    src_ref=travel_ref.at[0],
+                    dst_ref=travel_ref.at[1],
+                    send_sem=ssem,
+                    recv_sem=rvsem,
+                    device_id=dev_id,
+                    device_id_type=dev_type,
+                )
+                copy.start()
+                copy.wait()
+                recv = travel_ref[1]
+                acc_ref[:, : 2 * Np] = acc_ref[:, : 2 * Np] + recv[:, : 2 * Np]
+                acc_ref[:, 2 * Np :] = jnp.minimum(
+                    acc_ref[:, 2 * Np :], recv[:, 2 * Np :]
+                )
+
+        def step(t, _):
+            done = done_o[:]
+            active = done < 0.5  # (Bb, 1)
+            v = v_o[:]
+            v16_ref[:] = v.astype(mm_dtype)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            sat_ref[:] = jnp.ones_like(sat_ref)
+
+            g_dma(0, 0).start()
+            read_dma(0, 0).start()
+            for sp in range(S):
+                slot = sp % 2
+                if sp + 1 < S:
+                    nslot = (sp + 1) % 2
+                    g_dma(sp + 1, nslot).start()
+                    read_dma(sp + 1, nslot).start()
+                g_dma(sp, slot).wait()
+                read_dma(sp, slot).wait()
+                r0, kb, w, c0 = span_meta[sp]
+                lo = pl.multiple_of(lo_ref[sp], SPAN)
+                vwin = v16_ref[:, pl.ds(lo, w)]
+                xl0 = iobuf[slot, 0]
+                cmask = cmask_ref[:, c0 : c0 + SPAN]
+
+                sat = None
+                for k in range(kb):
+                    lit_true = sbias_ref[k : k + 1, c0 : c0 + SPAN] - jnp.dot(
+                        vwin,
+                        gbuf[slot, k * w : (k + 1) * w],
+                        preferred_element_type=jnp.float32,
+                        precision=mm_precision,
+                    )
+                    sat = lit_true if sat is None else jnp.maximum(sat, lit_true)
+
+                xl_new = jnp.where(
+                    sat > 0.5,
+                    jnp.maximum(xl0 - 1.0, 1.0),
+                    jnp.minimum(xl0 + alpha, XL_CAP),
+                ) * cmask
+                unsat_w = xl_new * (1.0 - sat)
+                for k in range(kb):
+                    nsign = nsign_ref[k : k + 1, c0 : c0 + SPAN]
+                    # row-stacked (total ‖ unsat) scatter: one matmul
+                    both = jax.lax.dot_general(
+                        jnp.concatenate(
+                            [xl_new * nsign, unsat_w * nsign], axis=0
+                        ).astype(mm_dtype),
+                        gbuf[slot, k * w : (k + 1) * w],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=mm_precision,
+                    )
+                    acc_ref[:, pl.ds(lo, w)] = (
+                        acc_ref[:, pl.ds(lo, w)] + both[:Bb]
+                    )
+                    acc_ref[:, pl.ds(Np + lo, w)] = (
+                        acc_ref[:, pl.ds(Np + lo, w)] + both[Bb:]
+                    )
+                sat_ref[:] = jnp.minimum(
+                    sat_ref[:],
+                    jnp.min(jnp.where(cmask > 0, sat, 1.0), axis=1, keepdims=True),
+                )
+                if sp >= 2:
+                    write_dma(sp - 2, slot).wait()
+                iobuf[slot, 1] = jnp.where(active, xl_new, xl0)
+                write_dma(sp, slot).start()
+            for sp in (S - 2, S - 1):
+                if sp >= 0:
+                    write_dma(sp, sp % 2).wait()
+
+            acc_ref[:, 2 * Np :] = jnp.broadcast_to(sat_ref[:], (Bb, EXT))
+            allreduce()
+            tot = acc_ref[:, :Np]
+            uns = acc_ref[:, Np : 2 * Np]
+            allsat = acc_ref[:, 2 * Np : 2 * Np + 1]
+            u = uniform01(t, (Bb, Np))
+            flip = u * tot < uns
+            v_o[:] = jnp.where(active & flip, 1.0 - v, v)
+            done_o[:] = jnp.maximum(done, allsat)
+            return 0
+
+        jax.lax.fori_loop(0, chunk_steps, step, 0)
+
+    def footprint(bb):
+        return _block_footprint(
+            bb, Np, Mp, plan.max_group_rows, itemsize, Kmax, channels=2
+        ) + 3 * bb * (2 * Np + EXT) * 4
+
+    def call(v01, xl, done, seed, planes, lo, sbias, nsign, cmask):
+        B = v01.shape[0]
+        Bb = traj_block or _pick_traj_block(
+            B, Np, Mp, plan.max_group_rows, itemsize, Kmax, channels=2
+        )
+        while Bb > 8 and B % Bb:
+            Bb //= 2
+        while Bb > 8 and footprint(Bb) > _VMEM_BUDGET:
+            Bb //= 2
+        if B % Bb:
+            if footprint(B) > _VMEM_BUDGET:
+                raise ValueError(
+                    f"batch size {B} has no power-of-two divisor >= 8 and is "
+                    "too large for a single VMEM block; use a batch size "
+                    "divisible by 8"
+                )
+            Bb = B
+        grid = (B // Bb,)
+
+        row_blk = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        )
+        const_blk = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda i, *_: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # lo, seed
+            grid=grid,
+            in_specs=[
+                row_blk((Bb, Np)),
+                row_blk((Bb, 1)),  # done
+                any_spec,  # xl: span-streamed
+                const_blk(sbias.shape),
+                const_blk(nsign.shape),
+                const_blk((1, Mp)),
+                any_spec,  # planes
+            ],
+            out_specs=[
+                row_blk((Bb, Np)),
+                row_blk((Bb, 1)),
+                any_spec,  # xl out (staged+streamed in-kernel)
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, plan.max_group_rows, SPAN), mm_dtype),
+                pltpu.VMEM((2, 2, Bb, SPAN), jnp.float32),
+                pltpu.VMEM((Bb, Np), mm_dtype),
+                pltpu.VMEM((Bb, 2 * Np + EXT), jnp.float32),  # acc
+                pltpu.VMEM((2, Bb, 2 * Np + EXT), jnp.float32),  # travel
+                pltpu.VMEM((Bb, 1), jnp.float32),  # sat
+                pltpu.SemaphoreType.DMA((2,)),  # planes
+                pltpu.SemaphoreType.DMA((2,)),  # span reads
+                pltpu.SemaphoreType.DMA((2,)),  # span writes
+                pltpu.SemaphoreType.DMA,  # init copy
+                pltpu.SemaphoreType.DMA,  # remote send
+                pltpu.SemaphoreType.DMA,  # remote recv
+            ],
+        )
+        v_o, done_o, xl_o = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((B, Np), jnp.float32),
+                jax.ShapeDtypeStruct((B, 1), jnp.float32),
+                jax.ShapeDtypeStruct((B, Mp), jnp.float32),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=_VMEM_BUDGET + 32 * 1024 * 1024,
+                # distinct from ops/shard_chunk.py's id 7 so both
+                # collectives may live in one compiled program
+                **({"collective_id": 8} if n_rounds > 0 else {}),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=12 * B * R * SPAN * chunk_steps,
+                bytes_accessed=(B // Bb) * chunk_steps * R * SPAN * itemsize
+                + 2 * B * Mp * 4 * chunk_steps,
+                transcendentals=0,
+            ),
+        )(
+            lo,
+            seed,
+            v01.astype(jnp.float32),
+            done.reshape(B, 1).astype(jnp.float32),
+            xl,
+            sbias,
+            nsign,
+            cmask.reshape(1, Mp).astype(jnp.float32),
+            planes.astype(mm_dtype),
+        )
+        return v_o, xl_o, done_o.reshape(B) > 0.5
+
+    return call
 
 
 def stoch_shard_arrays(fa: FormulaArrays):

@@ -310,7 +310,11 @@ def make_sharded_chunk_runner(
 
 
 def make_sharded_stoch_runner(
-    fa: FormulaArrays, chunk_steps: int, mesh: Mesh, matmul_dtype: str = "float32"
+    fa: FormulaArrays,
+    chunk_steps: int,
+    mesh: Mesh,
+    matmul_dtype: str = "float32",
+    shard_chunk: bool = False,
 ):
     """Trajectory-DP stoch chunk runner: each device runs the (kernel or
     scan) chunk on its batch slice with its own PRNG key — chains are
@@ -358,6 +362,79 @@ def make_sharded_stoch_runner(
 
             ev = make_stoch_shard_eval(fa, matmul_dtype=matmul_dtype)
             sbias_np, nsign_np = stoch_shard_arrays(fa)
+
+            if shard_chunk:
+                # whole-chunk variant: weight-sum all-reduce IN-kernel
+                # (butterfly over ICI remote DMA), one launch per chunk
+                from odesat_tpu.ops.stoch_pallas import (
+                    make_stoch_shard_chunk,
+                    stoch_shard_chunk_supported,
+                )
+
+                if not stoch_shard_chunk_supported(
+                    fa, 2 if matmul_dtype == "bfloat16" else 4
+                ):
+                    raise ValueError(
+                        "stoch shard_chunk needs a power-of-two clause axis "
+                        "and the plan within the kernel's HBM/VMEM budget"
+                    )
+                if jax.default_backend() != "tpu":
+                    # same interpret-mode limitation as the ODE variant:
+                    # remote DMA discharges under ONE named mesh axis only
+                    # (clause-only harness in tests/test_shard_chunk.py)
+                    raise ValueError(
+                        "stoch shard_chunk with a clause axis needs real "
+                        "TPU hardware (interpret mode cannot simulate "
+                        "remote DMA under a two-axis mesh)"
+                    )
+                chunk_call = make_stoch_shard_chunk(
+                    fa, chunk_steps, matmul_dtype=matmul_dtype
+                )
+
+                def chunk_local(state: StochState, args) -> StochState:
+                    planes, lo, sbias, nsign, cmask = args
+                    # the per-traj key is replicated over the clause axis,
+                    # so every clause shard derives the SAME seed and the
+                    # in-kernel PRNG streams agree
+                    key, sub = jax.random.split(state.key[0])
+                    seed = jax.random.randint(
+                        sub, (1,), 0, 2**31 - 1, dtype=jnp.int32
+                    )
+                    v, xl, done = chunk_call(
+                        state.v.astype(jnp.float32),
+                        state.xl.astype(jnp.float32),
+                        state.done,
+                        seed,
+                        planes[0], lo[0], sbias[0], nsign[0], cmask,
+                    )
+                    return StochState(
+                        v > 0.5, xl.astype(jnp.int32), done, key[None]
+                    )
+
+                arg_specs = (
+                    P("clause"), P("clause"), P("clause"), P("clause"), P("clause")
+                )
+                sharded = shard_map(
+                    chunk_local,
+                    mesh=mesh,
+                    in_specs=(specs, arg_specs),
+                    out_specs=specs,
+                    check_vma=False,
+                )
+                jitted = jax.jit(sharded, donate_argnums=0)
+                mm = jnp.bfloat16 if matmul_dtype == "bfloat16" else jnp.float32
+                args = (
+                    jnp.asarray(plan.planes).astype(mm),
+                    jnp.asarray(plan.lo),
+                    jnp.asarray(sbias_np),
+                    jnp.asarray(nsign_np),
+                    jnp.asarray(fa.clause_mask),
+                )
+                args = tuple(
+                    put_global(a, NamedSharding(mesh, s))
+                    for a, s in zip(args, arg_specs)
+                )
+                return lambda state: jitted(state, args)
 
             def kstep(state: StochState, args) -> StochState:
                 planes, lo, sbias, nsign, cmask = args
@@ -412,6 +489,11 @@ def make_sharded_stoch_runner(
             )
             return lambda state: jitted(state, args)
 
+        if shard_chunk:
+            raise ValueError(
+                "stoch shard_chunk needs a clause-shard plan layout "
+                "matching the mesh (compile via compile_for_mesh)"
+            )
         step = make_stoch_clause_step("clause")
         dspecs = _dev_specs(False)
 

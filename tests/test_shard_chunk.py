@@ -129,6 +129,156 @@ def test_shard_chunk_replicated_v_stays_bitwise_identical():
         np.testing.assert_array_equal(v_all[s], v_all[0])
 
 
+def _run_stoch_sharded(fa, plan, chunk, n_shards, v0, xl0, done0, seed, traj_block):
+    """Drive the whole-chunk stoch kernel under a clause-only shard_map
+    (same harness rationale as _run_sharded)."""
+    from odesat_tpu.ops.stoch_pallas import (
+        make_stoch_shard_chunk,
+        stoch_shard_arrays,
+    )
+
+    call = make_stoch_shard_chunk(fa, chunk, interpret=True, traj_block=traj_block)
+    sbias, nsign = stoch_shard_arrays(fa)
+    mesh = _clause_mesh(n_shards)
+
+    def local(v, xl, done, seed, planes, lo, sbias, nsign, cmask):
+        return call(
+            v, xl, done, seed, planes[0], lo[0], sbias[0], nsign[0], cmask
+        )
+
+    specs_in = (
+        P(), P(None, "clause"), P(), P(),
+        P("clause"), P("clause"), P("clause"), P("clause"), P("clause"),
+    )
+    specs_out = (P(), P(None, "clause"), P())
+    sharded = shard_map(
+        local, mesh=mesh, in_specs=specs_in, out_specs=specs_out, check_vma=False
+    )
+    args = (
+        v0, xl0, done0, seed,
+        jnp.asarray(plan.planes), jnp.asarray(plan.lo),
+        jnp.asarray(sbias), jnp.asarray(nsign), jnp.asarray(fa.clause_mask),
+    )
+    put = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))  # noqa: E731
+    args = tuple(put(a, s) for a, s in zip(args, specs_in))
+    return jax.jit(sharded)(*args)
+
+
+def test_stoch_shard_chunk_matches_single_shard_bitwise():
+    """S=4 through the butterfly must BIT-match S=1 (no collective) for
+    the same seed: the weight sums are integer-valued f32 (exact under
+    any summation order) and the counter-based PRNG stream depends only
+    on (seed, block, step, row, col) — so the flip sequences, v, and
+    done must be identical."""
+    from odesat_tpu.ops.stoch_pallas import (
+        make_stoch_shard_chunk,
+        stoch_shard_arrays,
+        stoch_shard_chunk_supported,
+    )
+
+    formula = random_ksat(96, 420, k=3, seed=7, planted=True)
+    _, normalized = normalize_cnf_variables(formula)
+    B, chunk = 8, 12
+    seed = jnp.asarray([12345], dtype=jnp.int32)
+    v0 = jnp.zeros((0,))  # placeholder, rebuilt per layout below
+
+    outs = {}
+    for S in (1, 4):
+        fa, plan = compile_stream_sharded(normalized, S)
+        assert stoch_shard_chunk_supported(fa)
+        v = jnp.zeros((B, fa.n_vars_padded), jnp.float32)
+        xl = jnp.ones((B, fa.n_clauses_padded), jnp.float32)
+        done = jnp.zeros((B,), jnp.bool_)
+        if S == 1:
+            call = make_stoch_shard_chunk(fa, chunk, interpret=True, traj_block=B)
+            sbias, nsign = stoch_shard_arrays(fa)
+            out = call(
+                v, xl, done, seed,
+                jnp.asarray(plan.planes[0]), jnp.asarray(plan.lo[0]),
+                jnp.asarray(sbias[0]), jnp.asarray(nsign[0]),
+                jnp.asarray(fa.clause_mask),
+            )
+        else:
+            out = _run_stoch_sharded(fa, plan, chunk, S, v, xl, done, seed, B)
+        outs[S] = (np.asarray(out[0]), np.asarray(out[2]))
+
+    np.testing.assert_array_equal(outs[4][0], outs[1][0])  # v bitwise
+    np.testing.assert_array_equal(outs[4][1], outs[1][1])  # done
+
+
+def test_stoch_shard_chunk_replicated_v_stays_bitwise_identical():
+    """Every clause shard must hold the SAME v after the chunk (the
+    butterfly's symmetric grouping + shard-replicated PRNG seed)."""
+    from odesat_tpu.ops.stoch_pallas import (
+        make_stoch_shard_chunk,
+        stoch_shard_arrays,
+    )
+
+    formula = random_ksat(96, 420, k=3, seed=11, planted=True)
+    _, normalized = normalize_cnf_variables(formula)
+    fa, plan = compile_stream_sharded(normalized, 4)
+    B = 8
+    call = make_stoch_shard_chunk(fa, 10, interpret=True, traj_block=B)
+    sbias, nsign = stoch_shard_arrays(fa)
+    mesh = _clause_mesh(4)
+
+    def local(v, xl, done, seed, planes, lo, sbias, nsign, cmask):
+        out = call(
+            v, xl, done, seed, planes[0], lo[0], sbias[0], nsign[0], cmask
+        )
+        return (out[0][None],) + out[1:]
+
+    specs_in = (
+        P(), P(None, "clause"), P(), P(),
+        P("clause"), P("clause"), P("clause"), P("clause"), P("clause"),
+    )
+    specs_out = (P("clause"), P(None, "clause"), P())
+    sharded = shard_map(
+        local, mesh=mesh, in_specs=specs_in, out_specs=specs_out, check_vma=False
+    )
+    args = (
+        jnp.zeros((B, fa.n_vars_padded), jnp.float32),
+        jnp.ones((B, fa.n_clauses_padded), jnp.float32),
+        jnp.zeros((B,), jnp.bool_),
+        jnp.asarray([77], dtype=jnp.int32),
+        jnp.asarray(plan.planes), jnp.asarray(plan.lo),
+        jnp.asarray(sbias), jnp.asarray(nsign), jnp.asarray(fa.clause_mask),
+    )
+    put = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))  # noqa: E731
+    args = tuple(put(a, s) for a, s in zip(args, specs_in))
+    v_all, _, _ = jax.jit(sharded)(*args)
+    v_all = np.asarray(v_all)
+    for s in range(1, 4):
+        np.testing.assert_array_equal(v_all[s], v_all[0])
+
+
+def test_stoch_shard_chunk_solves_and_verifies():
+    """End-to-end: the whole-chunk stoch kernel on a 2-shard clause mesh
+    solves a small planted instance and the readout oracle-verifies."""
+    from odesat_tpu.cnf.evaluate import evaluate_cnf
+
+    formula = random_ksat(48, 200, k=3, seed=3, planted=True)
+    _, normalized = normalize_cnf_variables(formula)
+    fa, plan = compile_stream_sharded(normalized, 2)
+    B = 8
+    v = jnp.zeros((B, fa.n_vars_padded), jnp.float32)
+    xl = jnp.ones((B, fa.n_clauses_padded), jnp.float32)
+    done = jnp.zeros((B,), jnp.bool_)
+    seed = jnp.asarray([5], dtype=jnp.int32)
+    for _ in range(20):
+        v, xl, done = _run_stoch_sharded(
+            fa, plan, 50, 2, v, xl, done, seed, B
+        )
+        seed = seed + 1
+        if bool(np.asarray(done).any()):
+            break
+    done_np = np.asarray(done)
+    assert done_np.any(), "no chain satisfied the planted instance"
+    idx = int(np.flatnonzero(done_np)[0])
+    assign = np.asarray(v)[idx, : fa.n_vars] > 0.5
+    assert evaluate_cnf({i: bool(b) for i, b in enumerate(assign)}, normalized)
+
+
 def test_shard_chunk_production_path_gated_off_tpu():
     """The production 2-axis runner must refuse shard_chunk off-TPU with
     a clear message (interpret mode cannot simulate remote DMA under a
@@ -144,3 +294,20 @@ def test_shard_chunk_production_path_gated_off_tpu():
     fa = compile_for_mesh(normalized, SolverConfig(ode=ode), mesh)
     with pytest.raises(ValueError, match="real TPU"):
         make_sharded_chunk_runner(fa, 0.001, ode, 8, mesh)
+
+
+def test_stoch_shard_chunk_production_path_gated_off_tpu():
+    """The stoch runner's shard_chunk variant has the same off-TPU gate
+    (and the same clause-only interpret harness above as its validation
+    path)."""
+    from odesat_tpu.parallel.mesh import make_mesh
+    from odesat_tpu.parallel.sharded import compile_for_mesh, make_sharded_stoch_runner
+    from odesat_tpu.utils.config import ODEConfig, SolverConfig
+
+    formula = random_ksat(96, 420, k=3, seed=5, planted=True)
+    _, normalized = normalize_cnf_variables(formula)
+    mesh = make_mesh(4, 2)
+    ode = ODEConfig(step_size=0.01, shard_chunk=True)
+    fa = compile_for_mesh(normalized, SolverConfig(ode=ode), mesh)
+    with pytest.raises(ValueError, match="real TPU"):
+        make_sharded_stoch_runner(fa, 8, mesh, shard_chunk=True)

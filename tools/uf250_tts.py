@@ -13,7 +13,11 @@ separates the load-independent part from the load-dependent part:
 * the residual (wall - compute - dispatch) is host/load noise, reported
   so the spread is explained rather than absorbed.
 
-Usage: python tools/uf250_tts.py [n_instances] [batch]
+Usage: python tools/uf250_tts.py [n_instances] [batch] [chunk]
+
+The default 500-step chunk makes steps-to-solution chunk-granular (the
+round-3 measurement saw every instance finish inside its first chunk,
+i.e. true value <= 500); pass a smaller chunk (e.g. 50) to resolve it.
 """
 
 import os
@@ -40,7 +44,7 @@ from odesat_tpu.utils.timing import measure_throughput, sync
 def main():
     n_inst = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
-    CHUNK = 500
+    CHUNK = int(sys.argv[3]) if len(sys.argv) > 3 else 500
 
     # --- dispatch+sync latency: tiny jitted op, host-pulled -----------------
     x = jnp.zeros((8, 128))
