@@ -550,6 +550,10 @@ def simulate_batch(
         mesh is None
         and harvest is None  # the oracle exit needs host control per chunk
         and not wants_chunk_cadence
+        # a wall-clock budget is only checked between dispatches: a
+        # 262144-step dispatch could overshoot it by minutes on a slow
+        # instance, so budgeted runs keep host-paced chunks
+        and config.wall_clock_budget_s is None
         and config.batch_size < 1024
         and (ode.steps is None or ode.steps > chunk_steps)
     )

@@ -270,9 +270,10 @@ def search(
 
         fa = compile_for_mesh(formula_or_arrays, config, mesh)
     else:
+        # only reachable at n_clause == 1 (clause meshes compile above)
         fa = compile_formula(
             formula_or_arrays,
-            clause_pad=config.clause_pad * n_clause,
+            clause_pad=config.clause_pad,
             var_pad=config.var_pad,
             window_sort=config.window_sort,
         )

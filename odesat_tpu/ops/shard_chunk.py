@@ -19,7 +19,10 @@ axis using ``pltpu.make_async_remote_copy``:
   shard-local allsat flag (min-combined) in pass 1 and the adaptive
   error norm (max-combined) in pass 2, so the flags ride the same
   transfers;
-* log2(S) hops per reduction instead of a ring's S-1.
+* log2(S) hops per reduction instead of a ring's S-1;
+* each (round, invocation-parity) pair receives into its own slot and
+  semaphore (ops/butterfly.py), so a payload delayed on congested ICI
+  can never satisfy a different round's wait.
 
 Requires a power-of-two clause axis. At S=1 the reduction degenerates
 and the kernel is a plan-layout whole-chunk program — runnable on ONE
@@ -52,6 +55,7 @@ from odesat_tpu.constants import (
     GAMMA,
     XL_CAP_PER_CLAUSE,
 )
+from odesat_tpu.ops.butterfly import butterfly_allreduce, travel_slots
 from odesat_tpu.ops.shard_stream import (
     SPAN,
     StreamShardPlan,
@@ -223,42 +227,30 @@ def make_shard_chunk_call(
             )
             return dxs, dxl, span_sat
 
-        def allreduce(flag_min):
+        def allreduce(flag_min, parity):
             """Butterfly all-reduce of acc_ref over the clause axis: dv
             zone adds, flag zone min- (pass 1) or max-combines (pass 2).
-            Grouping is identical on every shard, so the result is
-            bit-identical everywhere (see module docstring)."""
-            if n_rounds == 0:
-                return
-            ci = jax.lax.axis_index(ring_axis)
-            for r in range(n_rounds):
-                partner = jax.lax.bitwise_xor(ci, jnp.int32(1 << r))
-                travel_ref[0] = acc_ref[:]
-                if interpret:
-                    # CPU-mesh discharge supports one named axis only:
-                    # the test mesh is clause-only, logical id == index
-                    dev_id, dev_type = partner, pltpu.DeviceIdType.LOGICAL
-                else:
-                    dev_id, dev_type = (
-                        {ring_axis: partner},
-                        pltpu.DeviceIdType.MESH,
-                    )
-                copy = pltpu.make_async_remote_copy(
-                    src_ref=travel_ref.at[0],
-                    dst_ref=travel_ref.at[1],
-                    send_sem=ssem,
-                    recv_sem=rvsem,
-                    device_id=dev_id,
-                    device_id_type=dev_type,
-                )
-                copy.start()
-                copy.wait()
-                recv = travel_ref[1]
+            Bit-identical on every shard; per-(round, parity) recv slots
+            make it race-free — see ops/butterfly.py."""
+
+            def combine(recv):
                 acc_ref[:, :Np] = acc_ref[:, :Np] + recv[:, :Np]
                 if flag_min:
                     acc_ref[:, Np:] = jnp.minimum(acc_ref[:, Np:], recv[:, Np:])
                 else:
                     acc_ref[:, Np:] = jnp.maximum(acc_ref[:, Np:], recv[:, Np:])
+
+            butterfly_allreduce(
+                acc_ref,
+                travel_ref,
+                ssem,
+                rvsem,
+                n_rounds=n_rounds,
+                ring_axis=ring_axis,
+                interpret=interpret,
+                parity=parity,
+                combine=combine,
+            )
 
         def clamp_xs(x):
             return jnp.fmin(jnp.fmax(x, EPSILON), 1.0 - EPSILON)
@@ -325,7 +317,9 @@ def make_shard_chunk_call(
 
                 sweep((xs_o, xl_o), (xs_o, xl_o), write_back)
                 acc_ref[:, Np:] = jnp.broadcast_to(sat_ref[:], (Bb, EXT))
-                allreduce(flag_min=True)
+                # one invocation per step: the step index alternates the
+                # recv-slot parity between consecutive invocations
+                allreduce(flag_min=True, parity=step_i % 2)
                 v_o[:] = clamp_v(v + dt_col * acc_ref[:, :Np])
                 done_o[:] = jnp.maximum(done, acc_ref[:, Np : Np + 1])
                 return 0
@@ -354,7 +348,10 @@ def make_shard_chunk_call(
 
                 sweep((xs_o, xl_o), (dxs_o, dxl_o), write_back1)
                 acc_ref[:, Np:] = jnp.broadcast_to(sat_ref[:], (Bb, EXT))
-                allreduce(flag_min=True)
+                # two invocations per step at static parities 0/1:
+                # consecutive invocations always alternate (step t's
+                # second call = 1, step t+1's first = 0)
+                allreduce(flag_min=True, parity=0)
                 dv1 = acc_ref[:, :Np]
                 allsat = acc_ref[:, Np : Np + 1]
                 advance = jnp.where((done < 0.5) & (allsat < 0.5), 1.0, 0.0)
@@ -394,7 +391,7 @@ def make_shard_chunk_call(
 
                 sweep((xs_o, xl_o, dxs_o, dxl_o), (xs_o, xl_o), write_back2)
                 acc_ref[:, Np:] = jnp.broadcast_to(err_ref[:], (Bb, EXT))
-                allreduce(flag_min=False)
+                allreduce(flag_min=False, parity=1)
                 dv2 = acc_ref[:, :Np]
                 tv = clamp_v(vh + 0.5 * dt_col * dv2)
                 err = jnp.maximum(
@@ -416,11 +413,11 @@ def make_shard_chunk_call(
         jax.lax.fori_loop(0, chunk_steps, step, 0)
 
     def footprint(bb):
-        # base model + the all-reduce accumulator and travel buffers
-        # (3 extra (bb, Np+EXT) f32 blocks) this kernel adds
+        # base model + the all-reduce accumulator and the per-(round,
+        # parity) travel recv slots this kernel adds
         return _block_footprint(
             bb, Np, Mp, plan.max_group_rows, itemsize, Kmax, channels
-        ) + 3 * bb * (Np + EXT) * 4
+        ) + (1 + travel_slots(n_rounds)) * bb * (Np + EXT) * 4
 
     def call(v, xs, xl, dt, done, planes, lo, bias, cmask):
         B = v.shape[0]
@@ -476,7 +473,10 @@ def make_shard_chunk_call(
                 pltpu.VMEM((Kmax, Bb, SPAN), jnp.float32),
                 pltpu.VMEM((Bb, Np), mm_dtype),
                 pltpu.VMEM((Bb, Np + EXT), jnp.float32),  # acc (dv ‖ flag)
-                pltpu.VMEM((2, Bb, Np + EXT), jnp.float32),  # travel
+                # per-(round, parity) recv slots — see ops/butterfly.py
+                pltpu.VMEM(
+                    (travel_slots(n_rounds), Bb, Np + EXT), jnp.float32
+                ),
                 pltpu.VMEM((Bb, 1), jnp.float32),  # sat
                 *([] if fixed else [pltpu.VMEM((Bb, 1), jnp.float32)]),  # err
                 pltpu.SemaphoreType.DMA((2,)),  # planes
@@ -484,7 +484,7 @@ def make_shard_chunk_call(
                 pltpu.SemaphoreType.DMA((4,)),  # span writes
                 pltpu.SemaphoreType.DMA((2,)),  # init copies
                 pltpu.SemaphoreType.DMA,  # remote send
-                pltpu.SemaphoreType.DMA,  # remote recv
+                pltpu.SemaphoreType.DMA((travel_slots(n_rounds),)),  # remote recv
             ],
         )
         out_shape = [

@@ -768,6 +768,17 @@ def make_fused_clause_step(
     plan = fa.shard_plan
     if plan is None:
         raise ValueError("needs a compile_stream_sharded formula (shard plan)")
+    if (
+        ode.step_size is None
+        and getattr(ode, "dt_mode", "per-trajectory") != "per-trajectory"
+    ):
+        # the fused step adapts dt per trajectory only; silently running
+        # it for dt_mode='shared' would integrate with different dt
+        # dynamics than the scan path / reference (src/system.rs:314)
+        raise ValueError(
+            "the clause-shard kernel supports per-trajectory dt only; "
+            "dt_mode='shared' runs on the scan path"
+        )
     xl_cap = XL_CAP_PER_CLAUSE * fa.n_clauses  # real clause count (src/system.rs:95)
 
     def reduce_dv_sat(dv, sat):

@@ -896,6 +896,7 @@ def make_stoch_shard_chunk(
     like the other stoch kernels. Reference anchors: the weight sums,
     src/stoch.rs:53-59; flip rule, src/stoch.rs:67-75.
     """
+    from odesat_tpu.ops.butterfly import butterfly_allreduce, travel_slots
     from odesat_tpu.ops.shard_stream import (
         SPAN,
         _block_footprint,
@@ -979,39 +980,29 @@ def make_stoch_shard_chunk(
                 iobuf.at[slot, 1], xl_o.at[rows, pl.ds(c0, SPAN)], wsem.at[slot]
             )
 
-        def allreduce():
+        def allreduce(parity):
             """Butterfly all-reduce of acc_ref over the clause axis:
-            (total ‖ unsat) zones add, the flag zone min-combines; the
-            pairwise grouping is identical on every shard, so the result
-            is bit-identical everywhere (see ops/shard_chunk.py)."""
-            if n_rounds == 0:
-                return
-            ci = jax.lax.axis_index(ring_axis)
-            for r in range(n_rounds):
-                partner = jax.lax.bitwise_xor(ci, jnp.int32(1 << r))
-                travel_ref[0] = acc_ref[:]
-                if interpret:
-                    dev_id, dev_type = partner, pltpu.DeviceIdType.LOGICAL
-                else:
-                    dev_id, dev_type = (
-                        {ring_axis: partner},
-                        pltpu.DeviceIdType.MESH,
-                    )
-                copy = pltpu.make_async_remote_copy(
-                    src_ref=travel_ref.at[0],
-                    dst_ref=travel_ref.at[1],
-                    send_sem=ssem,
-                    recv_sem=rvsem,
-                    device_id=dev_id,
-                    device_id_type=dev_type,
-                )
-                copy.start()
-                copy.wait()
-                recv = travel_ref[1]
+            (total ‖ unsat) zones add, the flag zone min-combines;
+            bit-identical on every shard, race-free via per-(round,
+            parity) recv slots — see ops/butterfly.py."""
+
+            def combine(recv):
                 acc_ref[:, : 2 * Np] = acc_ref[:, : 2 * Np] + recv[:, : 2 * Np]
                 acc_ref[:, 2 * Np :] = jnp.minimum(
                     acc_ref[:, 2 * Np :], recv[:, 2 * Np :]
                 )
+
+            butterfly_allreduce(
+                acc_ref,
+                travel_ref,
+                ssem,
+                rvsem,
+                n_rounds=n_rounds,
+                ring_axis=ring_axis,
+                interpret=interpret,
+                parity=parity,
+                combine=combine,
+            )
 
         def step(t, _):
             done = done_o[:]
@@ -1084,7 +1075,8 @@ def make_stoch_shard_chunk(
                     write_dma(sp, sp % 2).wait()
 
             acc_ref[:, 2 * Np :] = jnp.broadcast_to(sat_ref[:], (Bb, EXT))
-            allreduce()
+            # one invocation per step: the step index alternates parity
+            allreduce(parity=t % 2)
             tot = acc_ref[:, :Np]
             uns = acc_ref[:, Np : 2 * Np]
             allsat = acc_ref[:, 2 * Np : 2 * Np + 1]
@@ -1099,7 +1091,7 @@ def make_stoch_shard_chunk(
     def footprint(bb):
         return _block_footprint(
             bb, Np, Mp, plan.max_group_rows, itemsize, Kmax, channels=2
-        ) + 3 * bb * (2 * Np + EXT) * 4
+        ) + (1 + travel_slots(n_rounds)) * bb * (2 * Np + EXT) * 4
 
     def call(v01, xl, done, seed, planes, lo, sbias, nsign, cmask):
         B = v01.shape[0]
@@ -1149,14 +1141,17 @@ def make_stoch_shard_chunk(
                 pltpu.VMEM((2, 2, Bb, SPAN), jnp.float32),
                 pltpu.VMEM((Bb, Np), mm_dtype),
                 pltpu.VMEM((Bb, 2 * Np + EXT), jnp.float32),  # acc
-                pltpu.VMEM((2, Bb, 2 * Np + EXT), jnp.float32),  # travel
+                # per-(round, parity) recv slots — see ops/butterfly.py
+                pltpu.VMEM(
+                    (travel_slots(n_rounds), Bb, 2 * Np + EXT), jnp.float32
+                ),
                 pltpu.VMEM((Bb, 1), jnp.float32),  # sat
                 pltpu.SemaphoreType.DMA((2,)),  # planes
                 pltpu.SemaphoreType.DMA((2,)),  # span reads
                 pltpu.SemaphoreType.DMA((2,)),  # span writes
                 pltpu.SemaphoreType.DMA,  # init copy
                 pltpu.SemaphoreType.DMA,  # remote send
-                pltpu.SemaphoreType.DMA,  # remote recv
+                pltpu.SemaphoreType.DMA((travel_slots(n_rounds),)),  # remote recv
             ],
         )
         v_o, done_o, xl_o = pl.pallas_call(

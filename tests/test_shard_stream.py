@@ -286,3 +286,21 @@ def test_stoch_mesh_snapshot_rejected_without_mesh(tmp_path):
     )
     with pytest.raises(ValueError, match="taken on a mesh"):
         search(normalized, resume)
+
+
+def test_fused_clause_step_rejects_shared_dt_adaptive():
+    """The fused clause step only implements per-trajectory dt; a
+    shared-dt adaptive config must be rejected (it runs on the scan
+    path), never silently integrated with the wrong dt dynamics."""
+    from odesat_tpu.ops.shard_stream import make_fused_clause_step, make_single_device_runner
+
+    formula = random_ksat(48, 200, k=3, seed=4)
+    _, normalized = normalize_cnf_variables(formula)
+    fa, _ = compile_stream_sharded(normalized, 1)
+    shared = ODEConfig(tolerance=1e-3, dt_mode="shared")
+    with pytest.raises(ValueError, match="per-trajectory dt"):
+        make_fused_clause_step(fa, 0.001, shared)
+    with pytest.raises(ValueError, match="per-trajectory dt"):
+        make_single_device_runner(fa, 0.001, shared, 8)
+    # fixed-step integrators never adapt dt, so dt_mode is inert there
+    make_fused_clause_step(fa, 0.001, ODEConfig(step_size=0.01, dt_mode="shared"))
