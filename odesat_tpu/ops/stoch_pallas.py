@@ -38,6 +38,34 @@ XL_CAP = float(2**24)
 _JIT_CACHE = {}  # static shape signature -> jitted kernel
 
 
+def _make_uniform01(block_seed):
+    """Counter-based uniforms in [0,1): murmur3 finalizer over (block
+    seed, step counter, row, col). Shared by all three stoch kernels —
+    the stream depends only on those counters, so clause shards seeded
+    identically draw identical flips with zero communication.
+
+    uint32 -> f32 is unsupported in Mosaic; the top-24-bit value fits
+    int32 exactly, so bitcast then convert."""
+
+    def uniform01(step, shape):
+        r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+        c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+        x = (
+            r * jnp.uint32(0x9E3779B1)
+            ^ c * jnp.uint32(0x85EBCA77)
+            ^ (block_seed + step.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
+        )
+        x = x ^ (x >> 16)
+        x = x * jnp.uint32(0x7FEB352D)
+        x = x ^ (x >> 15)
+        x = x * jnp.uint32(0x846CA68B)
+        x = x ^ (x >> 16)
+        x24 = jax.lax.bitcast_convert_type(x >> 8, jnp.int32)
+        return x24.astype(jnp.float32) * (1.0 / 16777216.0)
+
+    return uniform01
+
+
 def stoch_fused_supported(fa: FormulaArrays) -> bool:
     K, Mp = fa.lit_var.shape
     return K * fa.n_vars_padded * Mp * 4 <= 8 * 1024 * 1024
@@ -113,25 +141,7 @@ def make_fused_stoch_chunk(
         bias = bias_ref[:]  # (1, K*Mp)
         signs = [sign_ref[k : k + 1, :] for k in range(K)]
 
-        def uniform01(step, shape):
-            """Counter-based uniforms in [0,1): murmur3 finalizer over
-            (block seed, step counter, row, col)."""
-            r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-            c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-            x = (
-                r * jnp.uint32(0x9E3779B1)
-                ^ c * jnp.uint32(0x85EBCA77)
-                ^ (block_seed + step.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
-            )
-            x = x ^ (x >> 16)
-            x = x * jnp.uint32(0x7FEB352D)
-            x = x ^ (x >> 15)
-            x = x * jnp.uint32(0x846CA68B)
-            x = x ^ (x >> 16)
-            # uint32 -> f32 is unsupported in Mosaic; the top-24-bit value
-            # fits int32 exactly, so bitcast then convert
-            x24 = jax.lax.bitcast_convert_type(x >> 8, jnp.int32)
-            return x24.astype(jnp.float32) * (1.0 / 16777216.0)
+        uniform01 = _make_uniform01(block_seed)
 
         def body(t, carry):
             v, xl, done = carry  # v: (Bb, Np) 0/1 float; xl: (Bb, Mp); done: (Bb, 1)
@@ -412,21 +422,7 @@ def make_stream_stoch_chunk(
                 iobuf.at[slot, 1], xl_o.at[rows, pl.ds(c0, SPAN)], wsem.at[slot]
             )
 
-        def uniform01(step, shape):
-            r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-            c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-            x = (
-                r * jnp.uint32(0x9E3779B1)
-                ^ c * jnp.uint32(0x85EBCA77)
-                ^ (block_seed + step.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
-            )
-            x = x ^ (x >> 16)
-            x = x * jnp.uint32(0x7FEB352D)
-            x = x ^ (x >> 15)
-            x = x * jnp.uint32(0x846CA68B)
-            x = x ^ (x >> 16)
-            x24 = jax.lax.bitcast_convert_type(x >> 8, jnp.int32)
-            return x24.astype(jnp.float32) * (1.0 / 16777216.0)
+        uniform01 = _make_uniform01(block_seed)
 
         def step(t, _):
             done = done_o[:]
@@ -943,24 +939,7 @@ def make_stoch_shard_chunk(
         v_o[:] = v_ref[:]
         done_o[:] = done_ref[:]
 
-        def uniform01(step, shape):
-            # counter-based murmur3-finalizer uniforms, identical stream
-            # to make_fused_stoch_chunk — and identical on every clause
-            # shard (same block_seed / counters / shape)
-            r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-            c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-            x = (
-                r * jnp.uint32(0x9E3779B1)
-                ^ c * jnp.uint32(0x85EBCA77)
-                ^ (block_seed + step.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
-            )
-            x = x ^ (x >> 16)
-            x = x * jnp.uint32(0x7FEB352D)
-            x = x ^ (x >> 15)
-            x = x * jnp.uint32(0x846CA68B)
-            x = x ^ (x >> 16)
-            x24 = jax.lax.bitcast_convert_type(x >> 8, jnp.int32)
-            return x24.astype(jnp.float32) * (1.0 / 16777216.0)
+        uniform01 = _make_uniform01(block_seed)
 
         def g_dma(sp, slot):
             r0, kb, w, _ = span_meta[sp]
