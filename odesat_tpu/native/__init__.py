@@ -38,6 +38,7 @@ def _build() -> None:
         "-std=c++17",
         "-shared",
         "-fPIC",
+        "-pthread",
         "-o",
         _SO,
         _SRC,

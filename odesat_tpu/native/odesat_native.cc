@@ -25,6 +25,7 @@
 // all three implementations.
 
 #include <algorithm>
+#include <atomic>
 #include <chrono>
 #include <cstdio>
 #include <cmath>
@@ -34,6 +35,7 @@
 #include <ctime>
 #include <map>
 #include <set>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -440,42 +442,82 @@ void eliminate_variable(Pre& st, int32_t var, const ClauseSet& resolvents,
 // greedy pick: variable minimizing the post-elimination ratio; accepted
 // only while ratio <= target; candidates scanned in sorted order with
 // strict-less tie-breaking (deterministic; matches the Python pipeline)
-double g_t_resolve = 0, g_t_subsume = 0;  // ODESAT_NATIVE_PROFILE split
+double g_t_resolve = 0;  // ODESAT_NATIVE_PROFILE (serial scan only)
+
+// Per-candidate work of the greedy pick: resolvents + self-subsumption
+// + the post-elimination ratio. Pure function of read-only `st`.
+double candidate_ratio(const Pre& st, int32_t var, std::vector<Clause>* res_out) {
+  auto it = st.index.find(var);
+  if (it == st.index.end()) return 1e300;
+  std::vector<Clause> res = calculate_var_resolvents_vec(st, var);
+  // tautologies already skipped by construction; subsume within
+  // (indexed: late-stage candidates produce 1000+ wide resolvents,
+  // where the all-pairs sweep was ~30ms per candidate scan)
+  subsume_vec_indexed(res);
+  double clause_count = (double)st.clauses.size() - it->second.pos.size() -
+                        it->second.neg.size() + res.size();
+  double var_count = (double)st.varnum - 1;
+  double ratio = var_count > 0 ? clause_count / var_count : 1e300;
+  if (res_out) *res_out = std::move(res);
+  return ratio;
+}
 
 bool min_ratio_resolvant(const Pre& st, const std::set<int32_t>& candidates,
                          float target, int32_t* out_var,
                          ClauseSet* out_resolvents) {
   const bool prof = std::getenv("ODESAT_NATIVE_PROFILE") != nullptr;
   auto now = [] { return std::chrono::steady_clock::now(); };
+  const std::vector<int32_t> vars(candidates.begin(), candidates.end());
+  const size_t n = vars.size();
+  unsigned hw = std::thread::hardware_concurrency();
+  size_t nt = std::min<size_t>(hw ? hw : 1, n);
+  if (prof) nt = 1;  // keep the resolve/subsume split meaningful
+
   double smallest = 1e300;
   int32_t best = -1;
   std::vector<Clause> best_res;
-  for (int32_t var : candidates) {
-    auto it = st.index.find(var);
-    if (it == st.index.end()) continue;
-    auto ta = now();
-    std::vector<Clause> res = calculate_var_resolvents_vec(st, var);
-    auto tb = now();
-    // tautologies already skipped by construction; subsume within
-    // (indexed: late-stage candidates produce 1000+ wide resolvents,
-    // where the all-pairs sweep was ~30ms per candidate scan)
-    subsume_vec_indexed(res);
-    if (prof) {
-      auto tc = now();
-      g_t_resolve += std::chrono::duration<double>(tb - ta).count();
-      g_t_subsume += std::chrono::duration<double>(tc - tb).count();
+  if (nt > 1 && n >= 16) {
+    // The candidate scan only READS `st`; each worker pulls candidate
+    // indices off a shared atomic counter and records its ratio. The
+    // reduce below is a sequential argmin over the ascending-var order,
+    // so the winner (strict-less tie-break = lowest var) is
+    // byte-identical to the serial scan — parity with the Python twin
+    // stays exact (tests/test_native.py).
+    std::vector<double> ratios(n, 1e300);
+    std::atomic<size_t> next{0};
+    auto worker = [&] {
+      for (size_t i; (i = next.fetch_add(1)) < n;)
+        ratios[i] = candidate_ratio(st, vars[i], nullptr);
+    };
+    std::vector<std::thread> pool;
+    for (size_t t = 0; t + 1 < nt; ++t) pool.emplace_back(worker);
+    worker();
+    for (auto& t : pool) t.join();
+    size_t bi = n;
+    for (size_t i = 0; i < n; ++i)
+      if (ratios[i] < smallest) { smallest = ratios[i]; bi = i; }
+    if (bi == n || smallest > (double)target) return false;
+    best = vars[bi];
+    // recompute only the winner's resolvents (one candidate's work —
+    // cheaper than keeping every candidate's vector alive)
+    candidate_ratio(st, best, &best_res);
+  } else {
+    for (int32_t var : vars) {
+      auto ta = now();
+      std::vector<Clause> res;
+      double ratio = candidate_ratio(st, var, &res);
+      if (prof) {
+        auto tc = now();
+        g_t_resolve += std::chrono::duration<double>(tc - ta).count();
+      }
+      if (ratio < smallest) {
+        smallest = ratio;
+        best = var;
+        best_res = std::move(res);
+      }
     }
-    double clause_count = (double)st.clauses.size() - it->second.pos.size() -
-                          it->second.neg.size() + res.size();
-    double var_count = (double)st.varnum - 1;
-    double ratio = var_count > 0 ? clause_count / var_count : 1e300;
-    if (ratio < smallest) {
-      smallest = ratio;
-      best = var;
-      best_res = std::move(res);
-    }
+    if (best < 0 || smallest > (double)target) return false;
   }
-  if (best < 0 || smallest > (double)target) return false;
   *out_var = best;
   out_resolvents->clear();
   for (Clause& c : best_res) out_resolvents->insert(std::move(c));
@@ -543,10 +585,11 @@ int odesat_preprocess(const lit_t* lits, const int64_t* offsets,
   }
   if (prof)
     std::fprintf(stderr,
-                 "[odesat_native] greedy VE split: pick %.2fs (resolve %.2fs, "
-                 "subsume %.2fs), elim %.2fs, "
+                 "[odesat_native] greedy VE split: pick %.2fs "
+                 "(resolve+subsume %.2fs; profiling forces the serial "
+                 "scan), elim %.2fs, "
                  "bce-on-resolvents %.2fs (%ld rounds, %ld candidate scans)\n",
-                 t_pick, g_t_resolve, g_t_subsume, t_elim, t_bce, n_rounds,
+                 t_pick, g_t_resolve, t_elim, t_bce, n_rounds,
                  n_cands);
   auto t2 = now();
   subsume_clauses_indexed(st.clauses);
