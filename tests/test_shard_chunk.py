@@ -54,7 +54,15 @@ def _run_sharded(fa, ode, chunk, n_shards, state, dev):
 
 
 @pytest.mark.parametrize(
-    "n_shards,step_kind", [(2, "fixed"), (4, "fixed"), (2, "adaptive"), (4, "adaptive")]
+    "n_shards,step_kind",
+    [
+        (2, "fixed"),
+        (4, "fixed"),
+        (8, "fixed"),  # 3 butterfly rounds: multi-round recv-slot indexing
+        (2, "adaptive"),
+        (4, "adaptive"),
+        (8, "adaptive"),
+    ],
 )
 def test_shard_chunk_matches_scan(n_shards, step_kind):
     formula = random_ksat(96, 420, k=3, seed=5, planted=True)
@@ -183,7 +191,7 @@ def test_stoch_shard_chunk_matches_single_shard_bitwise():
     v0 = jnp.zeros((0,))  # placeholder, rebuilt per layout below
 
     outs = {}
-    for S in (1, 4):
+    for S in (1, 4, 8):
         fa, plan = compile_stream_sharded(normalized, S)
         assert stoch_shard_chunk_supported(fa)
         v = jnp.zeros((B, fa.n_vars_padded), jnp.float32)
@@ -202,8 +210,9 @@ def test_stoch_shard_chunk_matches_single_shard_bitwise():
             out = _run_stoch_sharded(fa, plan, chunk, S, v, xl, done, seed, B)
         outs[S] = (np.asarray(out[0]), np.asarray(out[2]))
 
-    np.testing.assert_array_equal(outs[4][0], outs[1][0])  # v bitwise
-    np.testing.assert_array_equal(outs[4][1], outs[1][1])  # done
+    for S in (4, 8):
+        np.testing.assert_array_equal(outs[S][0], outs[1][0])  # v bitwise
+        np.testing.assert_array_equal(outs[S][1], outs[1][1])  # done
 
 
 def test_stoch_shard_chunk_replicated_v_stays_bitwise_identical():
@@ -250,6 +259,55 @@ def test_stoch_shard_chunk_replicated_v_stays_bitwise_identical():
     v_all = np.asarray(v_all)
     for s in range(1, 4):
         np.testing.assert_array_equal(v_all[s], v_all[0])
+
+
+def test_stoch_shard_chunk_matches_fused_kernel_bitwise():
+    """S=1 shard-chunk vs the (distribution-validated) resident fused
+    stoch kernel, same derived seed: the counter PRNG stream depends
+    only on (seed, block, step, row, col) and the weight sums are
+    integer-valued f32 (exact under any clause order), so v and done
+    must be bit-identical despite the different clause layouts."""
+    from odesat_tpu.cnf import compile_formula
+    from odesat_tpu.models.stoch import StochState
+    from odesat_tpu.ops.stoch_pallas import (
+        make_fused_stoch_chunk,
+        make_stoch_shard_chunk,
+        stoch_shard_arrays,
+    )
+
+    formula = random_ksat(96, 420, k=3, seed=13, planted=True)
+    _, normalized = normalize_cnf_variables(formula)
+    B, chunk = 8, 16
+    key = jax.random.PRNGKey(21)
+
+    fa_f = compile_formula(normalized)
+    fused = make_fused_stoch_chunk(fa_f, chunk, interpret=True)
+    state = StochState(
+        v=jnp.zeros((B, fa_f.n_vars_padded), jnp.bool_),
+        xl=jnp.ones((B, fa_f.n_clauses_padded), jnp.int32),
+        done=jnp.zeros((B,), jnp.bool_),
+        key=key,
+    )
+    out_f = fused(state)
+
+    fa_s, plan = compile_stream_sharded(normalized, 1)
+    assert fa_s.n_vars_padded == fa_f.n_vars_padded  # same PRNG columns
+    # replicate the fused wrapper's seed derivation exactly
+    _, sub = jax.random.split(key)
+    seed = jax.random.randint(sub, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+    call = make_stoch_shard_chunk(fa_s, chunk, interpret=True, traj_block=B)
+    sbias, nsign = stoch_shard_arrays(fa_s)
+    v_s, _, done_s = call(
+        jnp.zeros((B, fa_s.n_vars_padded), jnp.float32),
+        jnp.ones((B, fa_s.n_clauses_padded), jnp.float32),
+        jnp.zeros((B,), jnp.bool_),
+        seed,
+        jnp.asarray(plan.planes[0]), jnp.asarray(plan.lo[0]),
+        jnp.asarray(sbias[0]), jnp.asarray(nsign[0]),
+        jnp.asarray(fa_s.clause_mask),
+    )
+    np.testing.assert_array_equal(np.asarray(v_s) > 0.5, np.asarray(out_f.v))
+    np.testing.assert_array_equal(np.asarray(done_s), np.asarray(out_f.done))
 
 
 def test_stoch_shard_chunk_solves_and_verifies():
