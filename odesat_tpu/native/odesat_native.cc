@@ -470,6 +470,13 @@ bool min_ratio_resolvant(const Pre& st, const std::set<int32_t>& candidates,
   const std::vector<int32_t> vars(candidates.begin(), candidates.end());
   const size_t n = vars.size();
   unsigned hw = std::thread::hardware_concurrency();
+  // ODESAT_NATIVE_THREADS overrides the pool width (0/unset = hardware
+  // count) — production control, and the only way to exercise the
+  // threaded scan on single-core hosts.
+  if (const char* env = std::getenv("ODESAT_NATIVE_THREADS")) {
+    long want = std::atol(env);
+    if (want > 0) hw = (unsigned)want;
+  }
   size_t nt = std::min<size_t>(hw ? hw : 1, n);
   if (prof) nt = 1;  // keep the resolve/subsume split meaningful
 

@@ -55,6 +55,23 @@ def test_native_preprocess_parity(seed):
         assert a == b
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_native_preprocess_threaded_scan_parity(seed, monkeypatch):
+    """Force the multi-threaded greedy-pick candidate scan (dead code on
+    single-core hosts — hardware_concurrency()==1 — without the
+    ODESAT_NATIVE_THREADS override) and pin it byte-identical to the
+    Python twin; the formula is sized so the first rounds carry >=16
+    candidates, the threshold that engages the pool."""
+    rng = np.random.default_rng(900 + seed)
+    formula = random_formula(rng, n_vars=40, n_clauses=150, max_width=3)
+    py_reduced, py_trace = preprocess_formula(formula, 7.0)
+    monkeypatch.setenv("ODESAT_NATIVE_THREADS", "4")
+    nat_reduced, nat_trace = native.preprocess_native(formula, 7.0)
+    assert nat_reduced.varnum == py_reduced.varnum
+    assert nat_reduced.clauses == py_reduced.clauses
+    assert [s for s in nat_trace.steps] == [s for s in py_trace.steps]
+
+
 def test_native_preprocess_easy(data_dir):
     formula = parse_dimacs_file(os.path.join(data_dir, "easy.cnf"))
     py_reduced, py_trace = preprocess_formula(formula, 7.0)
