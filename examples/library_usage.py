@@ -10,6 +10,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# Honor an explicit JAX_PLATFORMS (e.g. =cpu) even when a site boot hook
+# pins the platform via jax.config — same convention as the CLI.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import odesat_tpu as ot
 
 path = sys.argv[1] if len(sys.argv) > 1 else "tests/data/easy.cnf"
