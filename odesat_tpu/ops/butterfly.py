@@ -20,7 +20,16 @@ ICI):
 * **adjacent invocations** use opposite ``parity`` (caller-threaded:
   the loop step for once-per-step reductions, the static call index
   for the adaptive integrator's two per step), landing in disjoint
-  slots;
+  slots. Alternation must hold across the GLOBAL invocation sequence —
+  trajectory-block and kernel-launch boundaries included: a kernel
+  cannot finish until all payloads addressed to it have arrived (every
+  send has a matching same-launch wait on the receiver), but its own
+  final sends are only read-out-complete, so a shard may enter the
+  next block/launch while a partner still waits in the previous one.
+  Callers therefore keep the invocation count per block even — the
+  once-per-step kernels issue a dead-data parity-1 flush invocation
+  after an odd chunk (ops/shard_chunk.py, ops/stoch_pallas.py), and
+  the adaptive integrator is even by construction;
 * **same-parity reuse** (invocations i and i+2) is ordered without any
   handshake: the partner starts invocation i+2 only after completing
   i+1, which required receiving our invocation-i+1 round-r payload,

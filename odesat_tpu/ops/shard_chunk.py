@@ -411,6 +411,20 @@ def make_shard_chunk_call(
         dt_o[:] = dt_ref[:]
         done_o[:] = done_ref[:]
         jax.lax.fori_loop(0, chunk_steps, step, 0)
+        if fixed and chunk_steps % 2:
+            # Parity flush: butterfly recv-slot parity must alternate
+            # between consecutive invocations GLOBALLY — including across
+            # trajectory-block and kernel-launch boundaries (a shard that
+            # finishes early can start the next block/launch while its
+            # partner still waits in the previous one; its new round-r
+            # payload must not land in the slot the partner is waiting
+            # on). The fixed path runs one invocation per step, so an odd
+            # chunk would end on parity 0 and collide with the next
+            # block's first invocation. One dead-data invocation at
+            # parity 1 makes every block's count even; the adaptive path
+            # is always even (two invocations per step). acc_ref is dead
+            # here (each step re-zeroes it), so the combine is harmless.
+            allreduce(flag_min=True, parity=1)
 
     def footprint(bb):
         # base model + the all-reduce accumulator and the per-(round,

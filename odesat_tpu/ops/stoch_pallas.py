@@ -1066,6 +1066,15 @@ def make_stoch_shard_chunk(
             return 0
 
         jax.lax.fori_loop(0, chunk_steps, step, 0)
+        if chunk_steps % 2:
+            # Parity flush (see ops/shard_chunk.py): one invocation per
+            # step means an odd chunk ends on parity 0 and the next
+            # trajectory block / launch would reuse the same recv slots
+            # back to back, breaking ops/butterfly.py's alternation
+            # contract. One dead-data invocation at parity 1 keeps every
+            # block's invocation count even. acc_ref is re-zeroed at each
+            # step start, so the extra combine is harmless.
+            allreduce(parity=1)
 
     def footprint(bb):
         return _block_footprint(

@@ -98,6 +98,66 @@ def test_shard_chunk_matches_scan(n_shards, step_kind):
         )
 
 
+def test_shard_chunk_odd_chunk_parity_flush_matches_scan():
+    """Odd chunk lengths (user --chunk-steps or drive_chunks tails) end
+    the once-per-step invocation sequence on parity 0; the kernel must
+    issue the dead-data parity-1 flush invocation (ops/butterfly.py's
+    alternation contract across block/launch boundaries) WITHOUT
+    perturbing the results."""
+    formula = random_ksat(96, 420, k=3, seed=5, planted=True)
+    _, normalized = normalize_cnf_variables(formula)
+    fa, plan = compile_stream_sharded(normalized, 4)
+    ode = ODEConfig(step_size=0.01)
+    steps = 7  # odd: exercises the flush
+    state0 = init_state(fa, 8, jax.random.PRNGKey(4), ode)
+    dev = formula_device(fa)
+
+    ode_scan = ODEConfig(step_size=ode.step_size, dv_strategy="segment_sum")
+    ref = make_chunk_runner(fa, 0.001, ode_scan, steps)(
+        jax.tree.map(lambda x: jnp.array(np.asarray(x)), state0), dev
+    )
+    out = _run_sharded(fa, ode, steps, 4, state0, dev)
+    np.testing.assert_allclose(np.asarray(out.v), np.asarray(ref.v), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.xs), np.asarray(ref.xs), rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(out.done), np.asarray(ref.done))
+
+
+def test_stoch_shard_chunk_odd_chunk_parity_flush_bitwise():
+    """Same flush-invocation coverage for the whole-chunk stoch kernel:
+    an odd chunk through the butterfly must still BIT-match S=1."""
+    from odesat_tpu.ops.stoch_pallas import (
+        make_stoch_shard_chunk,
+        stoch_shard_arrays,
+    )
+
+    formula = random_ksat(96, 420, k=3, seed=7, planted=True)
+    _, normalized = normalize_cnf_variables(formula)
+    B, chunk = 8, 11  # odd: exercises the flush
+    seed = jnp.asarray([4242], dtype=jnp.int32)
+
+    outs = {}
+    for S in (1, 4):
+        fa, plan = compile_stream_sharded(normalized, S)
+        v = jnp.zeros((B, fa.n_vars_padded), jnp.float32)
+        xl = jnp.ones((B, fa.n_clauses_padded), jnp.float32)
+        done = jnp.zeros((B,), jnp.bool_)
+        if S == 1:
+            call = make_stoch_shard_chunk(fa, chunk, interpret=True, traj_block=B)
+            sbias, nsign = stoch_shard_arrays(fa)
+            out = call(
+                v, xl, done, seed,
+                jnp.asarray(plan.planes[0]), jnp.asarray(plan.lo[0]),
+                jnp.asarray(sbias[0]), jnp.asarray(nsign[0]),
+                jnp.asarray(fa.clause_mask),
+            )
+        else:
+            out = _run_stoch_sharded(fa, plan, chunk, S, v, xl, done, seed, B)
+        outs[S] = (np.asarray(out[0]), np.asarray(out[2]))
+
+    np.testing.assert_array_equal(outs[4][0], outs[1][0])  # v bitwise
+    np.testing.assert_array_equal(outs[4][1], outs[1][1])  # done
+
+
 def test_shard_chunk_replicated_v_stays_bitwise_identical():
     """The butterfly's symmetric pairwise grouping must keep the
     replicated v BIT-identical across clause shards (a sequential ring
