@@ -34,6 +34,42 @@ FALLBACK_BASELINE_TRAJ_STEPS_PER_SEC = 2.0e5  # cost-model fallback, see module 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
+def probe_backend(timeout_s: float) -> str | None:
+    """None when device enumeration completes in time; an outage
+    description when it times out.
+
+    The tunnel-backed TPU platform hangs `jax.devices()` indefinitely
+    during a backend outage (observed 2026-08-17: >600 s, infrastructure
+    not framework), which would hang this whole benchmark. Healthy
+    enumeration takes seconds — compiles are the slow part, not the
+    probe — so a generous timeout only ever fires on a genuine outage.
+    Probed in a subprocess (same env/sitecustomize, same platform
+    selection) because a hung in-process backend init cannot be
+    cancelled. A FAST nonzero exit is NOT an outage — it means jax or
+    the platform plugin is broken — so that case re-raises with the
+    subprocess stderr instead of blaming infrastructure."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        return (
+            "accelerator backend unreachable: device enumeration did not "
+            f"complete within {timeout_s:.0f}s (backend outage, not a "
+            "framework failure — rerun when the device tunnel is restored)"
+        )
+    if r.returncode != 0:
+        raise RuntimeError(
+            "backend probe failed fast — framework problem, not an outage:\n"
+            + r.stderr.decode("utf-8", "replace")
+        )
+    return None
+
+
 def measure_baseline(normalized) -> float:
     """Single-core CPU steps/s on the same instance (C++; measured live).
     Best of three — the host CPU is shared, so single measurements swing
@@ -76,6 +112,21 @@ def bench_fixed_step(batch_size: int = 16384, chunk_steps: int = 16384, repeats:
 
 
 def main():
+    timeout_s = float(os.environ.get("ODESAT_BENCH_DEVICE_TIMEOUT", "600"))
+    outage = probe_backend(timeout_s) if timeout_s > 0 else None
+    if outage is not None:
+        print(
+            json.dumps(
+                {
+                    "metric": "trajectories*steps/sec/chip (hard.cnf, fixed dt=0.01, b=16384)",
+                    "value": 0.0,
+                    "unit": "traj*steps/s",
+                    "vs_baseline": 0.0,
+                    "error": outage,
+                }
+            )
+        )
+        sys.exit(1)
     rate, normalized = bench_fixed_step()
     baseline = measure_baseline(normalized)
     # chunk 16384 matches what the solve loops escalate to on long runs
