@@ -40,6 +40,8 @@ from jax.sharding import NamedSharding
 
 from odesat_tpu.cnf import compile_formula, normalize_cnf_variables, parse_dimacs_file
 from odesat_tpu.models.ode import formula_device, init_state, make_chunk_runner
+from odesat_tpu.parallel.dist import fetch as _allgather
+from odesat_tpu.parallel.dist import put_global as to_global
 from odesat_tpu.parallel.multihost import initialize_distributed, make_pod_mesh
 from odesat_tpu.parallel.sharded import (
     STATE_SPECS,
@@ -52,25 +54,10 @@ from odesat_tpu.utils.config import ODEConfig, SolverConfig
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def to_global(x, sharding):
-    """Host-local full array -> global sharded array (every process holds
-    the same full value, so each device shard is a slice of it)."""
-    import jax.numpy as jnp
-
-    arr = jnp.asarray(x)
-    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
-
-
 def _formula():
     formula = parse_dimacs_file(os.path.join(HERE, "data", "hard.cnf"))
     _, normalized = normalize_cnf_variables(formula)
     return normalized
-
-
-def _allgather(x):
-    from jax.experimental import multihost_utils
-
-    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
 def scenario_basic(mesh_unused):

@@ -187,14 +187,26 @@ def test_full_pipeline_matches_brute_force_oracle():
             sat_checked += 1
     assert sat_checked >= 3 and unsat_checked >= 1  # both branches exercised
 
-def test_device_loop_early_exit_granularity(data_dir):
+def test_device_loop_early_exit_granularity(data_dir, monkeypatch):
     """Small batches run many chunks per dispatch inside an on-device
     while_loop (models/ode.make_multi_chunk_runner); the done
     short-circuit keeps the early-exit window at ONE inner chunk, so a
     fast solve reports steps at chunk granularity, far below the
-    nominal per-dispatch slice."""
+    nominal per-dispatch slice. A wall-clock budget would silently
+    disable the device loop (budgets are host-paced), so this test sets
+    none — and spies on the constructor to prove the loop actually ran."""
+    import odesat_tpu.models.ode as ode_mod
     from odesat_tpu.cnf import normalize_cnf_variables, parse_dimacs_file
     from odesat_tpu.models.ode import simulate_batch
+
+    calls = []
+    orig = ode_mod.make_multi_chunk_runner
+
+    def spy(*args, **kwargs):
+        calls.append((args, kwargs))
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(ode_mod, "make_multi_chunk_runner", spy)
 
     formula = parse_dimacs_file(os.path.join(data_dir, "small.cnf"))
     _, normalized = normalize_cnf_variables(formula)
@@ -203,9 +215,53 @@ def test_device_loop_early_exit_granularity(data_dir):
         batch_size=4,
         seed=0,
         chunk_steps=64,
-        wall_clock_budget_s=120.0,
     )
     result = simulate_batch(normalized, config, stop_on="any")
+    assert calls, "on-device multi-chunk loop was never built"
     assert result.any_solved
     assert result.steps % 64 == 0
     assert result.steps < 262144  # exited early within the first dispatch
+
+
+def test_multi_chunk_runner_exact_accounting(data_dir):
+    """make_multi_chunk_runner's steps_advanced must equal chunks
+    actually run x chunk_steps, the short-circuit must stop at the first
+    done chunk, and the state must match iterating the plain chunk
+    runner the same number of times."""
+    import jax.numpy as jnp
+
+    from odesat_tpu.cnf import (
+        compile_formula,
+        normalize_cnf_variables,
+        parse_dimacs_file,
+    )
+    from odesat_tpu.models.ode import (
+        formula_device,
+        init_state,
+        make_chunk_runner,
+        make_multi_chunk_runner,
+    )
+
+    formula = parse_dimacs_file(os.path.join(data_dir, "small.cnf"))
+    _, normalized = normalize_cnf_variables(formula)
+    fa = compile_formula(normalized)
+    ode = ODEConfig(step_size=0.01)
+    zeta = ode.resolve_zeta(fa.density)
+    dev = formula_device(fa)
+    state0 = init_state(fa, 4, jax.random.PRNGKey(0), ode)
+
+    fresh = lambda: jax.tree.map(lambda x: jnp.array(np.asarray(x)), state0)  # noqa: E731
+    multi = make_multi_chunk_runner(fa, zeta, ode, 64, 32, stop_on="any")
+    out, steps = multi(fresh(), dev)  # donates its input — use a copy
+    n = int(steps) // 64
+    assert int(steps) == n * 64
+    assert 1 <= n <= 32
+    if n < 32:  # short-circuited: done must hold at exit
+        assert bool(np.asarray(out.done).any())
+
+    chunk = make_chunk_runner(fa, zeta, ode, 64, donate=False)
+    ref = fresh()
+    for _ in range(n):
+        ref = chunk(ref, dev)
+    np.testing.assert_array_equal(np.asarray(out.v), np.asarray(ref.v))
+    np.testing.assert_array_equal(np.asarray(out.done), np.asarray(ref.done))
