@@ -36,7 +36,6 @@
 #include <map>
 #include <set>
 #include <thread>
-#include <unordered_map>
 #include <vector>
 
 extern "C" {
@@ -182,135 +181,121 @@ void sort_dedup(Clause& c) {
   c.erase(std::unique(c.begin(), c.end()), c.end());
 }
 
-// Non-tautological, non-empty resolvents of `clause` on `var` against the
-// opposing occurrence list (empty resolvents silently dropped — reference
-// quirk, src/cnf.rs:474-476).
-std::vector<Clause> calculate_resolvents(const Pre& st, const Clause& clause,
-                                         int32_t var) {
+// ---------------------------------------------------------------------------
+// flat candidate-scan machinery (the greedy pick's hot path)
+//
+// candidate_ratio runs tens of times per VE round (47k scans on n=10k);
+// the previous vector<Clause> + unordered_map formulation spent most of
+// its time in per-resolvent heap allocations, append-then-sort clause
+// construction, and per-scan hash-table builds. This version generates
+// resolvents into one per-thread flat buffer with a linear sorted
+// merge, dedups via an index sort, and runs the forward rarest-literal
+// subsumption with per-literal occurrence vectors reused across scans
+// (cleared through a touched list). The resulting resolvent SET is
+// identical — parity with the Python twin stays byte-exact
+// (tests/test_native.py).
+// ---------------------------------------------------------------------------
+
+struct ScanScratch {
+  std::vector<lit_t> lits;     // flat resolvent literals
+  std::vector<uint32_t> offs;  // resolvent k = [offs[k], offs[k+1])
+  std::vector<uint32_t> idx;   // unique resolvents (first-occurrence order)
+  std::vector<uint32_t> order; // subsumption processing order
+  std::vector<char> alive;
+  // stamped dedup hash table (stamp marks live entries; no per-scan clear)
+  std::vector<uint32_t> tab, tab_stamp;
+  uint32_t stamp = 0;
+  // counting-sort occurrence lists: cnt/beg/cur per encoded literal,
+  // items = flat per-literal buckets; size_cnt for the by-size order
+  std::vector<uint32_t> cnt, beg, cur, items, size_cnt;
+  std::vector<lit_t> touched;  // cnt entries used this scan
+  Clause own;                  // pos clause minus var
+};
+
+ScanScratch& scan_scratch() {
+  thread_local ScanScratch s;
+  return s;
+}
+
+// Linear sorted merge of `own` (var already stripped) with `other`
+// (skipping var), deduped, appended to `out`. Returns false (and
+// restores `out`) on a tautological resolvent. Encoded literals order
+// as (var, neg), so a complementary pair is the adjacent values l/l^1 —
+// detected while merging without any binary search.
+bool merge_resolvent(const Clause& own, const Clause& other, int32_t var,
+                     std::vector<lit_t>& out) {
+  const size_t start = out.size();
+  size_t i = 0, j = 0;
+  const size_t ni = own.size(), nj = other.size();
+  for (;;) {
+    while (j < nj && lit_var(other[j]) == var) ++j;
+    if (i == ni && j == nj) break;
+    if (j == nj) { out.insert(out.end(), own.begin() + i, own.end()); break; }
+    if (i == ni) {
+      for (; j < nj; ++j)
+        if (lit_var(other[j]) != var) out.push_back(other[j]);
+      break;
+    }
+    lit_t a = own[i], b = other[j];
+    if (a == b) {
+      // the shared literal's complement may hide in EITHER side: other's
+      // `a` against own's `a^1`, or other's `a^1` against own's `a`.
+      // Sorted-unique sequences put the complement adjacent (values
+      // differ by exactly 1), so two neighbor probes replace the old
+      // binary search.
+      lit_t comp = a ^ 1;
+      bool taut = (a & 1)
+          ? ((i > 0 && own[i - 1] == comp) || (j > 0 && other[j - 1] == comp))
+          : ((i + 1 < ni && own[i + 1] == comp) ||
+             (j + 1 < nj && other[j + 1] == comp));
+      if (taut) { out.resize(start); return false; }
+      out.push_back(a); ++i; ++j;
+    }
+    else if (a < b) {
+      if ((a ^ 1) == b) { out.resize(start); return false; }  // taut
+      out.push_back(a); ++i;
+    } else {
+      if ((b ^ 1) == a) { out.resize(start); return false; }
+      out.push_back(b); ++j;
+    }
+  }
+  return true;
+}
+
+// True iff `clause` has at least one non-tautological, non-empty
+// resolvent on `var` — calculate_resolvents(...).empty() without
+// building anything (early exit on the first survivor).
+bool any_resolvent(const Pre& st, const Clause& clause, int32_t var) {
   auto it = st.index.find(var);
-  std::vector<Clause> out;
-  if (it == st.index.end()) return out;
+  if (it == st.index.end()) return false;
   bool clause_has_pos =
       std::binary_search(clause.begin(), clause.end(), (lit_t)(var << 1));
   const ClauseSet& opposing = clause_has_pos ? it->second.neg : it->second.pos;
-
-  Clause own;
-  own.reserve(clause.size());
+  bool own_nonempty = false;
   for (lit_t l : clause)
-    if (lit_var(l) != var) own.push_back(l);
-
+    own_nonempty = own_nonempty || (lit_var(l) != var);
   for (const Clause& other : opposing) {
-    Clause combined = own;
-    bool taut = false;
+    bool taut = false, other_nonempty = false;
     for (lit_t l : other) {
       if (lit_var(l) == var) continue;
-      if (std::binary_search(own.begin(), own.end(), lit_compl(l))) {
+      other_nonempty = true;
+      // complement lookup in the ORIGINAL clause is safe: l's variable
+      // differs from var, so it can't collide with the stripped lits
+      if (std::binary_search(clause.begin(), clause.end(), lit_compl(l))) {
         taut = true;
         break;
       }
-      combined.push_back(l);
     }
-    if (taut) continue;
-    sort_dedup(combined);
-    if (!combined.empty()) out.push_back(std::move(combined));
+    if (!taut && (own_nonempty || other_nonempty)) return true;
   }
-  return out;
-}
-
-ClauseSet calculate_var_resolvents(const Pre& st, int32_t var) {
-  ClauseSet all;
-  auto it = st.index.find(var);
-  if (it == st.index.end()) return all;
-  for (const Clause& c : it->second.pos) {
-    auto rs = calculate_resolvents(st, c, var);
-    for (auto& r : rs) all.insert(std::move(r));
-  }
-  return all;
-}
-
-// vector variant for the greedy pick's hot path: sorted + deduped, same
-// contents/order as the ClauseSet version without per-insert tree costs
-std::vector<Clause> calculate_var_resolvents_vec(const Pre& st, int32_t var) {
-  std::vector<Clause> all;
-  auto it = st.index.find(var);
-  if (it == st.index.end()) return all;
-  size_t expect = 0;
-  for (const Clause& c : it->second.pos) (void)c, ++expect;
-  all.reserve(expect * 4);
-  for (const Clause& c : it->second.pos) {
-    auto rs = calculate_resolvents(st, c, var);
-    for (auto& r : rs) all.push_back(std::move(r));
-  }
-  std::sort(all.begin(), all.end());
-  all.erase(std::unique(all.begin(), all.end()), all.end());
-  return all;
-}
-
-// indexed subsumption over a sorted, deduped vector (same final set as
-// subsume_clauses_indexed on the equivalent ClauseSet).
-//
-// FORWARD formulation: iterate potential subsumers ascending by size and
-// probe only the RAREST literal's occurrence list (a superset of s
-// contains every literal of s, so it appears in all of s's lists —
-// scanning the shortest one finds every victim). Subsumers that are
-// themselves dead are skipped: strict-subset subsumption is transitive
-// (s' < s < c), so their victims fall to an earlier, still-alive
-// ancestor — the final set is identical to the all-pairs sweep.
-// Replaced the backward per-clause scan, which paid Sum_c Sum_l |occ(l)|
-// over the resolvents' heavily-shared literals (11.3s of the n=10k
-// preprocess; this formulation measures ~50x cheaper).
-void subsume_vec_indexed(std::vector<Clause>& clauses) {
-  // an empty clause subsumes everything (strict subset of every clause)
-  // but lands in no occurrence list — match the all-pairs semantics
-  for (const Clause& c : clauses) {
-    if (c.empty()) {
-      clauses.assign(1, Clause{});
-      return;
-    }
-  }
-  size_t n = clauses.size();
-  if (n < 2) return;
-  std::unordered_map<lit_t, std::vector<uint32_t>> occ;
-  occ.reserve(n * 2);
-  for (uint32_t i = 0; i < n; ++i)
-    for (lit_t l : clauses[i]) occ[l].push_back(i);
-  std::vector<uint32_t> order(n);
-  for (uint32_t i = 0; i < n; ++i) order[i] = i;
-  std::stable_sort(order.begin(), order.end(), [&](uint32_t a, uint32_t b) {
-    return clauses[a].size() < clauses[b].size();
-  });
-  std::vector<char> alive(n, 1);
-  for (uint32_t i : order) {
-    if (!alive[i]) continue;
-    const Clause& s = clauses[i];
-    const std::vector<uint32_t>* rarest = nullptr;
-    for (lit_t l : s) {
-      const auto& v = occ[l];
-      if (!rarest || v.size() < rarest->size()) rarest = &v;
-    }
-    for (uint32_t j : *rarest) {
-      if (j == i || !alive[j]) continue;
-      const Clause& c = clauses[j];
-      if (c.size() <= s.size()) continue;  // strict subset needs fewer lits
-      if (std::includes(c.begin(), c.end(), s.begin(), s.end())) alive[j] = 0;
-    }
-  }
-  size_t w = 0;
-  for (size_t i = 0; i < n; ++i) {
-    if (!alive[i]) continue;
-    if (w != i) clauses[w] = std::move(clauses[i]);  // self-move empties a vector
-    ++w;
-  }
-  clauses.resize(w);
+  return false;
 }
 
 // blocking variable if some literal has no surviving resolvents, scanned
 // in sorted literal order (matches Python's sorted(clause))
 int32_t is_blocked(const Pre& st, const Clause& clause) {
-  for (lit_t l : clause) {
-    auto rs = calculate_resolvents(st, clause, lit_var(l));
-    if (rs.empty()) return lit_var(l);
-  }
+  for (lit_t l : clause)
+    if (!any_resolvent(st, clause, lit_var(l))) return lit_var(l);
   return -1;
 }
 
@@ -443,23 +428,199 @@ void eliminate_variable(Pre& st, int32_t var, const ClauseSet& resolvents,
 // only while ratio <= target; candidates scanned in sorted order with
 // strict-less tie-breaking (deterministic; matches the Python pipeline)
 double g_t_resolve = 0;  // ODESAT_NATIVE_PROFILE (serial scan only)
+double g_t_gen = 0, g_t_dedup = 0, g_t_sub = 0;  // candidate_ratio stages
+
+struct StageTimer {
+  // stage accounting for the profiled serial scan; compiled to nothing
+  // measurable when ODESAT_NATIVE_PROFILE is unset
+  double* sink;
+  std::chrono::steady_clock::time_point t0;
+  static bool on() {
+    static const bool v = std::getenv("ODESAT_NATIVE_PROFILE") != nullptr;
+    return v;
+  }
+  explicit StageTimer(double* s) : sink(s) {
+    if (on()) t0 = std::chrono::steady_clock::now();
+  }
+  ~StageTimer() {
+    if (on())
+      *sink += std::chrono::duration<double>(
+                   std::chrono::steady_clock::now() - t0).count();
+  }
+};
 
 // Per-candidate work of the greedy pick: resolvents + self-subsumption
-// + the post-elimination ratio. Pure function of read-only `st`.
+// + the post-elimination ratio. Pure function of read-only `st`; all
+// working memory lives in the per-thread ScanScratch.
 double candidate_ratio(const Pre& st, int32_t var, std::vector<Clause>* res_out) {
   auto it = st.index.find(var);
   if (it == st.index.end()) return 1e300;
-  std::vector<Clause> res = calculate_var_resolvents_vec(st, var);
-  // tautologies already skipped by construction; subsume within
-  // (indexed: late-stage candidates produce 1000+ wide resolvents,
-  // where the all-pairs sweep was ~30ms per candidate scan)
-  subsume_vec_indexed(res);
+  ScanScratch& sc = scan_scratch();
+  std::vector<lit_t>& L = sc.lits;
+  std::vector<uint32_t>& offs = sc.offs;
+  L.clear();
+  offs.assign(1, 0);
+
+  // 1. generate all non-tautological, non-empty resolvents flat
+  //    (empty resolvents silently dropped — reference quirk,
+  //    src/cnf.rs:474-476)
+  {
+  StageTimer _t(&g_t_gen);
+  for (const Clause& c : it->second.pos) {
+    sc.own.clear();
+    for (lit_t l : c)
+      if (lit_var(l) != var) sc.own.push_back(l);
+    for (const Clause& other : it->second.neg) {
+      if (merge_resolvent(sc.own, other, var, L) && L.size() > offs.back())
+        offs.push_back((uint32_t)L.size());
+      else
+        L.resize(offs.back());  // taut (already restored) or empty
+    }
+  }
+  }
+  const size_t n_all = offs.size() - 1;
+
+  // 2. dedup via a stamped open-addressing hash table (first-occurrence
+  //    order). The downstream consumers only need the unique SET: the
+  //    subsumption sweep below is processing-order independent, the
+  //    count feeds a ratio, and the winner's survivors land in a sorted
+  //    ClauseSet — so no lexicographic sort is required (the index sort
+  //    this replaced was ~25% of the scan).
+  std::vector<uint32_t>& idx = sc.idx;
+  idx.clear();
+  const lit_t* base = L.data();
+  auto seg_eq = [&](uint32_t a, uint32_t b) {
+    return offs[a + 1] - offs[a] == offs[b + 1] - offs[b] &&
+           std::equal(base + offs[a], base + offs[a + 1], base + offs[b]);
+  };
+  {
+    StageTimer _t(&g_t_dedup);
+    size_t want = 16;
+    while (want < 2 * n_all) want <<= 1;
+    if (sc.tab.size() < want) {
+      sc.tab.assign(want, 0);
+      sc.tab_stamp.assign(want, 0);
+      sc.stamp = 0;
+    }
+    const size_t mask = sc.tab.size() - 1;
+    ++sc.stamp;
+    if (sc.stamp == 0) {  // stamp wrap: reset the table once per 2^32 scans
+      std::fill(sc.tab_stamp.begin(), sc.tab_stamp.end(), 0);
+      sc.stamp = 1;
+    }
+    for (uint32_t k = 0; k < n_all; ++k) {
+      uint64_t h = 1469598103934665603ull;  // FNV-1a over the literals
+      for (uint32_t o = offs[k]; o < offs[k + 1]; ++o) {
+        h ^= (uint32_t)L[o];
+        h *= 1099511628211ull;
+      }
+      h ^= h >> 32;
+      size_t pos = (size_t)h & mask;
+      bool dup = false;
+      while (sc.tab_stamp[pos] == sc.stamp) {
+        if (seg_eq(sc.tab[pos], k)) { dup = true; break; }
+        pos = (pos + 1) & mask;
+      }
+      if (dup) continue;
+      sc.tab_stamp[pos] = sc.stamp;
+      sc.tab[pos] = k;
+      idx.push_back(k);
+    }
+  }
+  const size_t n = idx.size();
+
+  // 3. forward subsumption, rarest-literal probing: iterate potential
+  //    subsumers ascending by size and probe only the rarest literal's
+  //    occurrence list (a superset of s contains every literal of s, so
+  //    it appears in all of s's lists). Dead subsumers are skipped:
+  //    strict-subset subsumption is transitive (s' < s < c), so their
+  //    victims fall to an earlier, still-alive ancestor — the final set
+  //    is identical to the all-pairs sweep and independent of the
+  //    processing order. The backward per-clause formulation this
+  //    replaced paid Sum_c Sum_l |occ(l)| over heavily-shared literals
+  //    (11.3s of the n=10k preprocess).
+  size_t survivors = n;
+  if (n >= 2) {
+    StageTimer _t(&g_t_sub);
+    // per-literal occurrence lists built by counting sort into one flat
+    // buffer (cnt/beg/cur reused across scans, cleared via `touched`)
+    auto size_of = [&](uint32_t p) { return offs[idx[p] + 1] - offs[idx[p]]; };
+    lit_t max_lit = 0;
+    uint32_t max_sz = 0;
+    for (uint32_t p = 0; p < n; ++p) {
+      max_lit = std::max(max_lit, L[offs[idx[p] + 1] - 1]);
+      max_sz = std::max(max_sz, size_of(p));
+    }
+    if ((size_t)max_lit >= sc.cnt.size()) {
+      sc.cnt.resize(max_lit + 1, 0);
+      sc.beg.resize(max_lit + 1);
+      sc.cur.resize(max_lit + 1);
+    }
+    uint32_t total = 0;
+    for (uint32_t p = 0; p < n; ++p)
+      for (uint32_t o = offs[idx[p]]; o < offs[idx[p] + 1]; ++o) {
+        if (sc.cnt[L[o]]++ == 0) sc.touched.push_back(L[o]);
+        ++total;
+      }
+    uint32_t running = 0;
+    for (lit_t l : sc.touched) {
+      sc.beg[l] = running;
+      sc.cur[l] = running;
+      running += sc.cnt[l];
+    }
+    sc.items.resize(total);
+    for (uint32_t p = 0; p < n; ++p)
+      for (uint32_t o = offs[idx[p]]; o < offs[idx[p] + 1]; ++o)
+        sc.items[sc.cur[L[o]]++] = p;
+
+    // ascending-size processing order via counting sort (stable)
+    std::vector<uint32_t>& order = sc.order;
+    order.resize(n);
+    sc.size_cnt.assign(max_sz + 2, 0);
+    for (uint32_t p = 0; p < n; ++p) ++sc.size_cnt[size_of(p) + 1];
+    for (uint32_t s = 1; s <= max_sz + 1; ++s) sc.size_cnt[s] += sc.size_cnt[s - 1];
+    for (uint32_t p = 0; p < n; ++p) order[sc.size_cnt[size_of(p)]++] = p;
+
+    sc.alive.assign(n, 1);
+    for (uint32_t p : order) {
+      if (!sc.alive[p]) continue;
+      const lit_t* s0 = base + offs[idx[p]];
+      const lit_t* s1 = base + offs[idx[p] + 1];
+      lit_t rare = *s0;
+      for (const lit_t* l = s0; l < s1; ++l)
+        if (sc.cnt[*l] < sc.cnt[rare]) rare = *l;
+      const uint32_t sz = (uint32_t)(s1 - s0);
+      const uint32_t* q0 = sc.items.data() + sc.beg[rare];
+      const uint32_t* q1 = q0 + sc.cnt[rare];
+      for (const uint32_t* qp = q0; qp < q1; ++qp) {
+        uint32_t q = *qp;
+        if (q == p || !sc.alive[q]) continue;
+        if (size_of(q) <= sz) continue;  // strict subset needs fewer lits
+        if (std::includes(base + offs[idx[q]], base + offs[idx[q] + 1], s0, s1))
+          sc.alive[q] = 0;
+      }
+    }
+    survivors = 0;
+    for (uint32_t p = 0; p < n; ++p) survivors += sc.alive[p] ? 1 : 0;
+    if (res_out) {
+      res_out->clear();
+      res_out->reserve(survivors);
+      for (uint32_t p = 0; p < n; ++p)
+        if (sc.alive[p])
+          res_out->emplace_back(base + offs[idx[p]], base + offs[idx[p] + 1]);
+    }
+    for (lit_t l : sc.touched) sc.cnt[l] = 0;
+    sc.touched.clear();
+  } else if (res_out) {
+    res_out->clear();
+    for (uint32_t k : idx)
+      res_out->emplace_back(base + offs[k], base + offs[k + 1]);
+  }
+
   double clause_count = (double)st.clauses.size() - it->second.pos.size() -
-                        it->second.neg.size() + res.size();
+                        it->second.neg.size() + survivors;
   double var_count = (double)st.varnum - 1;
-  double ratio = var_count > 0 ? clause_count / var_count : 1e300;
-  if (res_out) *res_out = std::move(res);
-  return ratio;
+  return var_count > 0 ? clause_count / var_count : 1e300;
 }
 
 bool min_ratio_resolvant(const Pre& st, const std::set<int32_t>& candidates,
@@ -593,11 +754,12 @@ int odesat_preprocess(const lit_t* lits, const int64_t* offsets,
   if (prof)
     std::fprintf(stderr,
                  "[odesat_native] greedy VE split: pick %.2fs "
-                 "(resolve+subsume %.2fs; profiling forces the serial "
-                 "scan), elim %.2fs, "
+                 "(resolve+subsume %.2fs = gen %.2f + dedup %.2f + "
+                 "subsume %.2f; profiling forces the serial scan), "
+                 "elim %.2fs, "
                  "bce-on-resolvents %.2fs (%ld rounds, %ld candidate scans)\n",
-                 t_pick, g_t_resolve, t_elim, t_bce, n_rounds,
-                 n_cands);
+                 t_pick, g_t_resolve, g_t_gen, g_t_dedup, g_t_sub, t_elim,
+                 t_bce, n_rounds, n_cands);
   auto t2 = now();
   subsume_clauses_indexed(st.clauses);
   auto t3 = now();
