@@ -72,6 +72,39 @@ def test_native_preprocess_threaded_scan_parity(seed, monkeypatch):
     assert [s for s in nat_trace.steps] == [s for s in py_trace.steps]
 
 
+@pytest.mark.parametrize("seed", range(8))
+def test_native_preprocess_parity_stress(seed):
+    """Adversarial parity fuzz for the flat candidate scan: wide clauses
+    (more merge steps per resolvent), dense formulas (bigger resolvent
+    sets through dedup+subsumption), plus injected duplicate literals
+    and tautological/near-tautological clauses — the cases where the
+    linear-merge tautology detection (adjacent-value complement probes,
+    including the shared-literal dedup branch) must match the Python
+    twin's binary-search formulation exactly."""
+    from odesat_tpu.cnf.formula import Literal
+
+    rng = np.random.default_rng(1300 + seed)
+    base = random_formula(rng, n_vars=20, n_clauses=80, max_width=5, min_width=1)
+    clauses = list(base.clauses)
+    for _ in range(10):
+        width = int(rng.integers(2, 6))
+        vs = rng.choice(np.arange(1, 21), size=width, replace=True)  # dup vars
+        lits = [Literal(int(v), bool(rng.integers(0, 2))) for v in vs]
+        if rng.integers(0, 2):  # half get an explicit complementary pair
+            v = int(rng.integers(1, 21))
+            lits += [Literal(v, False), Literal(v, True)]
+        if rng.integers(0, 2):  # duplicate literal
+            lits.append(lits[0])
+        clauses.append(tuple(lits))
+    formula = type(base)(clauses, 20)
+
+    py_reduced, py_trace = preprocess_formula(formula, 7.0)
+    nat_reduced, nat_trace = native.preprocess_native(formula, 7.0)
+    assert nat_reduced.varnum == py_reduced.varnum
+    assert nat_reduced.clauses == py_reduced.clauses
+    assert [s for s in nat_trace.steps] == [s for s in py_trace.steps]
+
+
 def test_native_preprocess_easy(data_dir):
     formula = parse_dimacs_file(os.path.join(data_dir, "easy.cnf"))
     py_reduced, py_trace = preprocess_formula(formula, 7.0)
