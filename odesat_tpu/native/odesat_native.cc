@@ -589,6 +589,7 @@ double candidate_ratio(const Pre& st, int32_t var, std::vector<Clause>* res_out)
       lit_t rare = *s0;
       for (const lit_t* l = s0; l < s1; ++l)
         if (sc.cnt[*l] < sc.cnt[rare]) rare = *l;
+      if (sc.cnt[rare] == 1) continue;  // the only occurrence is p itself
       const uint32_t sz = (uint32_t)(s1 - s0);
       const uint32_t* q0 = sc.items.data() + sc.beg[rare];
       const uint32_t* q1 = q0 + sc.cnt[rare];
