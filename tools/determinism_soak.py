@@ -105,7 +105,72 @@ def main():
             ("v", "xs", "xl", "dt", "done"),
         )
 
-    from odesat_tpu.ops.stoch_pallas import make_fused_stoch_chunk, make_stream_stoch_chunk
+    # round-3 whole-chunk clause-shard kernels at S=1: the butterfly
+    # degenerates (its collective is interpret-validated on the CPU mesh
+    # and needs multi-chip hardware to run for real), so this validates
+    # the kernel BODY's DMA pipelines — v/dt/done chunk residency, span
+    # read/write streaming, in-kernel Euler epilogues. Odd chunk lengths
+    # compile the parity-flush variant (a no-op at S=1).
+    from types import SimpleNamespace
+
+    from odesat_tpu.models.ode import ODEState
+    from odesat_tpu.ops.shard_chunk import make_shard_chunk_call
+    from odesat_tpu.ops.shard_stream import compile_stream_sharded
+
+    fa_shc, plan_shc = compile_stream_sharded(bignorm, 1)
+    dev_shc = formula_device(fa_shc, matmul_dtype="bfloat16")
+    for mode, kwargs in (("fixed", dict(step_size=0.01)), ("adaptive", dict(tolerance=1e-3))):
+        ode = ODEConfig(matmul_dtype="bfloat16", **kwargs)
+        call = make_shard_chunk_call(fa_shc, 0.001, ode, 201)
+
+        def shard_chunk_runner(st, _call=call):
+            v, xs, xl, dt, done = _call(
+                st.v, st.xs, st.xl, st.dt, st.done,
+                dev_shc.planes[0], dev_shc.span_lo[0], dev_shc.span_bias[0],
+                dev_shc.clause_mask,
+            )
+            return ODEState(v, xs, xl, dt, done)
+
+        ok &= run_repeats(
+            f"shard-chunk/{mode} (n=900, S=1, 201 steps)",
+            lambda o=ode: init_state(fa_shc, 256, jax.random.PRNGKey(7), o),
+            shard_chunk_runner,
+            repeats,
+            ("v", "xs", "xl", "dt", "done"),
+        )
+
+    from odesat_tpu.ops.stoch_pallas import (
+        make_fused_stoch_chunk,
+        make_stoch_shard_chunk,
+        make_stream_stoch_chunk,
+        stoch_shard_arrays,
+    )
+    import jax.numpy as jnp
+
+    sbias, nsign = stoch_shard_arrays(fa_shc)
+    scall = make_stoch_shard_chunk(fa_shc, 501)
+    sseed = jnp.asarray([12345], dtype=jnp.int32)
+    sargs = (
+        jnp.asarray(plan_shc.planes[0]), jnp.asarray(plan_shc.lo[0]),
+        jnp.asarray(sbias[0]), jnp.asarray(nsign[0]),
+        jnp.asarray(fa_shc.clause_mask),
+    )
+
+    def stoch_shard_runner(st):
+        v, xl, done = scall(st.v, st.xl, st.done, sseed, *sargs)
+        return SimpleNamespace(v=v, xl=xl, done=done)
+
+    ok &= run_repeats(
+        "stoch-shard-chunk (n=900, S=1, 501 steps)",
+        lambda: SimpleNamespace(
+            v=jnp.zeros((256, fa_shc.n_vars_padded), jnp.float32),
+            xl=jnp.ones((256, fa_shc.n_clauses_padded), jnp.float32),
+            done=jnp.zeros((256,), jnp.bool_),
+        ),
+        stoch_shard_runner,
+        repeats,
+        ("v", "xl", "done"),
+    )
 
     sfn = make_fused_stoch_chunk(fa_aim, 2000, matmul_dtype="bfloat16")
     ok &= run_repeats(
