@@ -217,6 +217,15 @@ ScanScratch& scan_scratch() {
   return s;
 }
 
+// Worker threads free their scratch at join; the calling thread's
+// thread_local persists for the process lifetime, so odesat_preprocess
+// releases it explicitly once the greedy loop is done (peak-scan
+// buffers can hold tens of MB the solver no longer needs).
+void release_scan_scratch() {
+  ScanScratch& s = scan_scratch();
+  s = ScanScratch{};
+}
+
 // Linear sorted merge of `own` (var already stripped) with `other`
 // (skipping var), deduped, appended to `out`. Returns false (and
 // restores `out`) on a tautological resolvent. Encoded literals order
@@ -307,7 +316,7 @@ int32_t is_blocked(const Pre& st, const Clause& clause) {
 // Produces exactly the same final set (strict-subset subsumers only).
 void subsume_clauses_indexed(ClauseSet& clauses) {
   // empty-clause special case: it subsumes every other clause but sits
-  // in no occurrence list (see subsume_vec_indexed)
+  // in no occurrence list, so the scan below would never visit it
   if (clauses.count(Clause{})) {
     clauses.clear();
     clauses.insert(Clause{});
@@ -708,6 +717,7 @@ int odesat_preprocess(const lit_t* lits, const int64_t* offsets,
     return std::chrono::duration<double>(b - a).count();
   };
   auto t0 = now();
+  g_t_resolve = g_t_gen = g_t_dedup = g_t_sub = 0;  // per-call stage split
   Pre st;
   st.varnum = varnum;
   for (int64_t m = 0; m < n_clauses; ++m) {
@@ -762,6 +772,7 @@ int odesat_preprocess(const lit_t* lits, const int64_t* offsets,
                  t_pick, g_t_resolve, g_t_gen, g_t_dedup, g_t_sub, t_elim,
                  t_bce, n_rounds, n_cands);
   auto t2 = now();
+  release_scan_scratch();
   subsume_clauses_indexed(st.clauses);
   auto t3 = now();
   if (prof)

@@ -64,7 +64,17 @@ def main():
     _, bignorm = normalize_cnf_variables(big)
     fa_big = compile_formula(bignorm, bucket=True, window_sort=True)
 
-    for mode, kwargs in (("fixed", dict(step_size=0.01)), ("adaptive", dict(tolerance=1e-3))):
+    # one S=1 shard plan + device arrays, shared by every sharded section
+    from odesat_tpu.ops.shard_stream import (
+        compile_stream_sharded,
+        make_single_device_runner,
+    )
+
+    fa_sh, plan_sh = compile_stream_sharded(bignorm, 1)
+    dev_sh = formula_device(fa_sh, matmul_dtype="bfloat16")
+
+    for mode, kwargs in (("fixed", dict(step_size=0.01)), (
+            "adaptive", dict(tolerance=1e-3))):
         ode = ODEConfig(matmul_dtype="bfloat16", **kwargs)
 
         from odesat_tpu.ops.fused_pallas import make_fused_chunk
@@ -89,13 +99,6 @@ def main():
             ("v", "xs", "xl", "dt", "done"),
         )
 
-        from odesat_tpu.ops.shard_stream import (
-            compile_stream_sharded,
-            make_single_device_runner,
-        )
-
-        fa_sh, _ = compile_stream_sharded(bignorm, 1)
-        dev_sh = formula_device(fa_sh, matmul_dtype="bfloat16")
         fn = make_single_device_runner(fa_sh, 0.001, ode, 200)
         ok &= run_repeats(
             f"shard-stream/{mode} (n=900, 200 steps)",
@@ -115,25 +118,23 @@ def main():
 
     from odesat_tpu.models.ode import ODEState
     from odesat_tpu.ops.shard_chunk import make_shard_chunk_call
-    from odesat_tpu.ops.shard_stream import compile_stream_sharded
 
-    fa_shc, plan_shc = compile_stream_sharded(bignorm, 1)
-    dev_shc = formula_device(fa_shc, matmul_dtype="bfloat16")
-    for mode, kwargs in (("fixed", dict(step_size=0.01)), ("adaptive", dict(tolerance=1e-3))):
+    for mode, kwargs in (("fixed", dict(step_size=0.01)), (
+            "adaptive", dict(tolerance=1e-3))):
         ode = ODEConfig(matmul_dtype="bfloat16", **kwargs)
-        call = make_shard_chunk_call(fa_shc, 0.001, ode, 201)
+        call = make_shard_chunk_call(fa_sh, 0.001, ode, 201)
 
         def shard_chunk_runner(st, _call=call):
             v, xs, xl, dt, done = _call(
                 st.v, st.xs, st.xl, st.dt, st.done,
-                dev_shc.planes[0], dev_shc.span_lo[0], dev_shc.span_bias[0],
-                dev_shc.clause_mask,
+                dev_sh.planes[0], dev_sh.span_lo[0], dev_sh.span_bias[0],
+                dev_sh.clause_mask,
             )
             return ODEState(v, xs, xl, dt, done)
 
         ok &= run_repeats(
             f"shard-chunk/{mode} (n=900, S=1, 201 steps)",
-            lambda o=ode: init_state(fa_shc, 256, jax.random.PRNGKey(7), o),
+            lambda o=ode: init_state(fa_sh, 256, jax.random.PRNGKey(7), o),
             shard_chunk_runner,
             repeats,
             ("v", "xs", "xl", "dt", "done"),
@@ -147,13 +148,13 @@ def main():
     )
     import jax.numpy as jnp
 
-    sbias, nsign = stoch_shard_arrays(fa_shc)
-    scall = make_stoch_shard_chunk(fa_shc, 501)
+    sbias, nsign = stoch_shard_arrays(fa_sh)
+    scall = make_stoch_shard_chunk(fa_sh, 501)
     sseed = jnp.asarray([12345], dtype=jnp.int32)
     sargs = (
-        jnp.asarray(plan_shc.planes[0]), jnp.asarray(plan_shc.lo[0]),
+        jnp.asarray(plan_sh.planes[0]), jnp.asarray(plan_sh.lo[0]),
         jnp.asarray(sbias[0]), jnp.asarray(nsign[0]),
-        jnp.asarray(fa_shc.clause_mask),
+        jnp.asarray(fa_sh.clause_mask),
     )
 
     def stoch_shard_runner(st):
@@ -163,8 +164,8 @@ def main():
     ok &= run_repeats(
         "stoch-shard-chunk (n=900, S=1, 501 steps)",
         lambda: SimpleNamespace(
-            v=jnp.zeros((256, fa_shc.n_vars_padded), jnp.float32),
-            xl=jnp.ones((256, fa_shc.n_clauses_padded), jnp.float32),
+            v=jnp.zeros((256, fa_sh.n_vars_padded), jnp.float32),
+            xl=jnp.ones((256, fa_sh.n_clauses_padded), jnp.float32),
             done=jnp.zeros((256,), jnp.bool_),
         ),
         stoch_shard_runner,
