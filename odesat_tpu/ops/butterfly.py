@@ -29,7 +29,12 @@ ICI):
   Callers therefore keep the invocation count per block even — the
   once-per-step kernels issue a dead-data parity-1 flush invocation
   after an odd chunk (ops/shard_chunk.py, ops/stoch_pallas.py), and
-  the adaptive integrator is even by construction;
+  the adaptive integrator is even by construction. Launch boundaries
+  are additionally fenced by ``entry_barrier`` in compiled mode: no
+  shard issues a remote send until every shard has entered the
+  launch, so a payload can never land in a *different* program's
+  VMEM (grid blocks within a launch still rely on the parity
+  discipline alone);
 * **same-parity reuse** (invocations i and i+2) is ordered without any
   handshake: the partner starts invocation i+2 only after completing
   i+1, which required receiving our invocation-i+1 round-r payload,
@@ -46,6 +51,42 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
+
+
+def entry_barrier(*, n_rounds: int, ring_axis: str, interpret: bool):
+    """Barrier with every butterfly partner at kernel entry, BEFORE the
+    first remote DMA (the canonical Pallas-TPU collective prologue).
+
+    Without it a shard that enters this launch early could fire a remote
+    write into a partner that is still executing the *previous* program
+    (there is no cross-shard XLA data dependency between chunk launches
+    once the all-reduce lives in-kernel), clobbering whatever that
+    program keeps at the travel buffer's VMEM address and signalling a
+    semaphore it may be using for its own DMAs. The barrier semaphore is
+    keyed by the pallas_call's ``collective_id``; each shard signals all
+    log2(S) partners once and waits for the matching count, so counts
+    stay balanced across launches even when shards skew (early signals
+    accumulate and are consumed by the receiver's next entry wait).
+
+    Skipped under interpret mode: ``get_barrier_semaphore`` cannot be
+    discharged there (it lowers to a constant ref), and interpret mode
+    discharges remote copies synchronously, so the launch-skew race the
+    barrier guards against cannot occur on the CPU mesh. The handshake
+    therefore first executes on real multi-chip hardware — it is the
+    canonical prologue from the Pallas-TPU distributed guide."""
+    if n_rounds == 0 or interpret:
+        return
+    ci = jax.lax.axis_index(ring_axis)
+    sem = pltpu.get_barrier_semaphore()
+    for r in range(n_rounds):
+        partner = jax.lax.bitwise_xor(ci, jnp.int32(1 << r))
+        pltpu.semaphore_signal(
+            sem,
+            1,
+            device_id={ring_axis: partner},
+            device_id_type=pltpu.DeviceIdType.MESH,
+        )
+    pltpu.semaphore_wait(sem, n_rounds)
 
 
 def travel_slots(n_rounds: int) -> int:

@@ -55,7 +55,11 @@ from odesat_tpu.constants import (
     GAMMA,
     XL_CAP_PER_CLAUSE,
 )
-from odesat_tpu.ops.butterfly import butterfly_allreduce, travel_slots
+from odesat_tpu.ops.butterfly import (
+    butterfly_allreduce,
+    entry_barrier,
+    travel_slots,
+)
 from odesat_tpu.ops.shard_stream import (
     SPAN,
     StreamShardPlan,
@@ -140,6 +144,17 @@ def make_shard_chunk_call(
         i = pl.program_id(0)
         Bb = v_ref.shape[0]
         rows = pl.ds(i * Bb, Bb)
+
+        if n_rounds > 0:
+            # barrier with every butterfly partner before the launch's
+            # first remote DMA (ops/butterfly.entry_barrier); later grid
+            # blocks are ordered by the in-launch slot discipline, so
+            # once per launch suffices
+            @pl.when(i == 0)
+            def _entry():
+                entry_barrier(
+                    n_rounds=n_rounds, ring_axis=ring_axis, interpret=interpret
+                )
 
         # stage the clause memories into the output HBM buffers once per
         # chunk; all span traffic then goes through xs_o/xl_o (reads via

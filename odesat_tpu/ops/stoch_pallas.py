@@ -892,7 +892,11 @@ def make_stoch_shard_chunk(
     like the other stoch kernels. Reference anchors: the weight sums,
     src/stoch.rs:53-59; flip rule, src/stoch.rs:67-75.
     """
-    from odesat_tpu.ops.butterfly import butterfly_allreduce, travel_slots
+    from odesat_tpu.ops.butterfly import (
+        butterfly_allreduce,
+        entry_barrier,
+        travel_slots,
+    )
     from odesat_tpu.ops.shard_stream import (
         SPAN,
         _block_footprint,
@@ -932,6 +936,17 @@ def make_stoch_shard_chunk(
         Bb = v_ref.shape[0]
         rows = pl.ds(i * Bb, Bb)
         block_seed = (seed_ref[0] + i * 0x632BE59B).astype(jnp.uint32)
+
+        if n_rounds > 0:
+            # barrier with every butterfly partner before the launch's
+            # first remote DMA (ops/butterfly.entry_barrier); later grid
+            # blocks are ordered by the in-launch slot discipline, so
+            # once per launch suffices
+            @pl.when(i == 0)
+            def _entry():
+                entry_barrier(
+                    n_rounds=n_rounds, ring_axis=ring_axis, interpret=interpret
+                )
 
         init_xl = pltpu.make_async_copy(xl_ref.at[rows], xl_o.at[rows], csem)
         init_xl.start()
