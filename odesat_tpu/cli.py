@@ -186,6 +186,15 @@ def _build_parser() -> argparse.ArgumentParser:
 def _config_from_args(args, batch_size: int = 1) -> SolverConfig:
     tol = getattr(args, "tolerance", None)
     ratio = getattr(args, "ctv_ratio", None)
+    if getattr(args, "shard_chunk", False) and getattr(args, "clause_shards", 1) <= 1:
+        # the whole-chunk kernel only exists on a clause mesh; silently
+        # running the ordinary path would misreport what was benchmarked
+        print(
+            "error: --shard-chunk requires --clause-shards >= 2 "
+            "(the in-kernel all-reduce runs on the clause mesh axis)",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
     ode = ODEConfig(
         # `is not None`, not truthiness: an explicit 0 must stick
         tolerance=tol if tol is not None else 1e-3,
@@ -316,7 +325,7 @@ def cmd_solve(args) -> int:
     print("Simulating...")
     from odesat_tpu.models.ode import simulate_batch
 
-    result = simulate_batch(normalized, config, mesh=_mesh_from_args(args))
+    result = _or_exit(simulate_batch, normalized, config, mesh=_mesh_from_args(args))
 
     print("Mapping values...")
     mapped_values = map_values_by_indices(var_mapping, result.best_assignment())
@@ -438,7 +447,9 @@ def cmd_inter(args) -> int:
     print("Simulating...")
     from odesat_tpu.models.ode import simulate_batch
 
-    result = simulate_batch(normalized, config, stop_on="any", mesh=_mesh_from_args(args))
+    result = _or_exit(
+        simulate_batch, normalized, config, stop_on="any", mesh=_mesh_from_args(args)
+    )
 
     mapped_values = map_values_by_indices(var_mapping, result.best_assignment())
     _finish(mapped_values, formula, args.output)

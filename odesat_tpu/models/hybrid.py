@@ -96,13 +96,20 @@ def hybrid_search(
         import jax.numpy as jnp
 
         from odesat_tpu.models.stoch import StochState
-        from odesat_tpu.utils.checkpoint import load_hybrid_state
+        from odesat_tpu.utils.checkpoint import (
+            load_hybrid_state,
+            validate_mesh_layout,
+        )
 
         from odesat_tpu.models.ode import ODEState
 
-        ode_loaded, stoch_loaded, steps_resumed = load_hybrid_state(
+        ode_loaded, stoch_loaded, steps_resumed, saved_layout = load_hybrid_state(
             config.resume_from, ODEState, StochState
         )
+        # full-layout check first (traj AND clause axes — the clause axis
+        # changes the compiled clause order for BOTH engines); the
+        # key-shape checks below remain for pre-layout snapshots
+        validate_mesh_layout(saved_layout, mesh, what="hybrid snapshot")
         # mesh snapshots carry the per-device stoch key layout — resume
         # needs the same trajectory device count (same validation as the
         # plain stoch engine, models/stoch.py)
@@ -127,32 +134,57 @@ def hybrid_search(
     else:
         ode_state = init_state(fa, config.batch_size, k_ode, ode)
         stoch_state = init_stoch_state(fa, config.batch_size, k_stoch)
-    if mesh is not None:
-        from odesat_tpu.models.stoch import StochState
-        from odesat_tpu.parallel.sharded import (
-            make_sharded_chunk_runner,
-            make_sharded_stoch_runner,
-            shard_inputs,
-            shard_stoch_inputs,
+    stoch_shard_chunk = bool(
+        mesh is not None
+        and ode.shard_chunk
+        and mesh.shape.get("clause", 1) > 1
+    )
+
+    def _make_runners(n):
+        """(ode_runner, stoch_runner) advancing every trajectory n steps
+        — one builder for the steady-state AND tail runners so their
+        argument lists can never diverge."""
+        if mesh is not None:
+            from odesat_tpu.parallel.sharded import (
+                make_sharded_chunk_runner,
+                make_sharded_stoch_runner,
+            )
+
+            return make_sharded_chunk_runner(
+                fa, zeta, ode, n, mesh
+            ), make_sharded_stoch_runner(
+                fa,
+                n,
+                mesh,
+                matmul_dtype=ode.matmul_dtype,
+                shard_chunk=stoch_shard_chunk,
+            )
+        return (
+            make_chunk_runner(fa, zeta, ode, n),
+            make_stoch_chunk_runner(fa, n, matmul_dtype=ode.matmul_dtype),
         )
 
+    if mesh is not None:
+        from odesat_tpu.models.stoch import StochState
+        from odesat_tpu.parallel.sharded import shard_inputs, shard_stoch_inputs
+
         n_traj = mesh.shape["traj"]
+        n_clause = mesh.shape.get("clause", 1)
         if config.batch_size % n_traj:
             raise ValueError(
                 f"batch_size={config.batch_size} does not divide across "
                 f"{n_traj} trajectory devices"
             )
-        ode_runner = make_sharded_chunk_runner(fa, zeta, ode, chunk, mesh)
-        stoch_shard_chunk = bool(
-            ode.shard_chunk and mesh.shape.get("clause", 1) > 1
-        )
-        stoch_runner = make_sharded_stoch_runner(
-            fa,
-            chunk,
-            mesh,
-            matmul_dtype=ode.matmul_dtype,
-            shard_chunk=stoch_shard_chunk,
-        )
+        if n_clause > 1 and fa.n_clauses_padded % n_clause:
+            # same pre-check as models/stoch.py: a caller-supplied plain
+            # FormulaArrays would otherwise die in a cryptic jax sharding
+            # error inside shard_map (compile_for_mesh-built layouts
+            # always divide)
+            raise ValueError(
+                f"the padded clause axis ({fa.n_clauses_padded}) does not "
+                f"divide across {n_clause} clause devices; recompile with a "
+                "mesh-aware layout (parallel.sharded.compile_for_mesh)"
+            )
         ode_state, dev = shard_inputs(ode_state, dev, mesh)
         if not resumed:
             # fresh runs get one PRNG key per device; resumed snapshots
@@ -164,34 +196,11 @@ def hybrid_search(
                 jax.random.split(k_stoch, n_traj),
             )
         stoch_state = shard_stoch_inputs(stoch_state, mesh)
-    else:
-        ode_runner = make_chunk_runner(fa, zeta, ode, chunk)
-        stoch_runner = make_stoch_chunk_runner(
-            fa, chunk, matmul_dtype=ode.matmul_dtype
-        )
+    ode_runner, stoch_runner = _make_runners(chunk)
 
     # tail runners keep the step budget exact (a 100-step budget with
     # chunk 16 runs 100 steps, not 112 — same clamp as drive_chunks)
     tail_runners = None
-
-    def _make_runners(n):
-        if mesh is not None:
-            from odesat_tpu.parallel.sharded import (
-                make_sharded_chunk_runner as _mscr,
-                make_sharded_stoch_runner as _mssr,
-            )
-
-            return _mscr(fa, zeta, ode, n, mesh), _mssr(
-                fa,
-                n,
-                mesh,
-                matmul_dtype=ode.matmul_dtype,
-                shard_chunk=stoch_shard_chunk,
-            )
-        return (
-            make_chunk_runner(fa, zeta, ode, n),
-            make_stoch_chunk_runner(fa, n, matmul_dtype=ode.matmul_dtype),
-        )
 
     budget = ode.steps
     steps = steps_resumed
@@ -225,9 +234,15 @@ def hybrid_search(
                 and config.checkpoint_path
                 and chunks % config.checkpoint_every_chunks == 0
             ):
-                from odesat_tpu.utils.checkpoint import save_hybrid_state
+                from odesat_tpu.utils.checkpoint import (
+                    mesh_layout_of,
+                    save_hybrid_state,
+                )
 
-                save_hybrid_state(config.checkpoint_path, ode_state, stoch_state, steps)
+                save_hybrid_state(
+                    config.checkpoint_path, ode_state, stoch_state, steps,
+                    mesh_layout=mesh_layout_of(mesh),
+                )
             from odesat_tpu.parallel.dist import fetch
 
             ode_done = fetch(ode_state.done)

@@ -33,6 +33,7 @@ def drive_chunks(
     should_stop,
     steps_resumed: int = 0,
     chunk_steps: int | None = None,
+    mesh_layout=None,
 ):
     """Run ``state = runner(state)`` chunks until ``should_stop(state,
     done)`` (done arrives host-pulled), the step budget, or the
@@ -48,13 +49,7 @@ def drive_chunks(
     from odesat_tpu.parallel.dist import fetch
 
     chunk_steps = chunk_steps if chunk_steps is not None else config.chunk_steps
-    # checkpoint cadence counts only when a path is set (the save branch
-    # below requires both) — an inert cadence must not disable growth
-    wants_chunk_cadence = bool(
-        (config.checkpoint_every_chunks and config.checkpoint_path)
-        or config.log_every_chunks
-    )
-    can_grow = not wants_chunk_cadence
+    can_grow = not config.wants_chunk_cadence()
 
     runner = make_runner(chunk_steps)
     tail_runner = None
@@ -71,6 +66,7 @@ def drive_chunks(
             remaining = None if budget is None else budget - steps_run
             if remaining is not None and remaining <= 0:
                 break
+            chunk_t0 = time.perf_counter()
             if remaining is not None and remaining < chunk_steps:
                 # keyed on remaining: a device-loop runner may advance
                 # less than its nominal n, shifting later tail sizes
@@ -91,15 +87,31 @@ def drive_chunks(
                 else:
                     steps_run += chunk_steps
             chunks += 1
+            done = fetch(state.done)  # allgathers on a pod; SYNCS the chunk
             if can_grow and chunks % GROW_AFTER == 0 and chunk_steps < GROW_CAP:
                 bigger = min(chunk_steps * 16, GROW_CAP)
                 if budget is not None:
                     bigger = min(bigger, max(budget - steps_run, 1))
+                if config.wall_clock_budget_s is not None:
+                    # the budget is only checked between chunks, so bound
+                    # the grown chunk's PREDICTED duration by the remaining
+                    # seconds — a 16x-grown chunk must not overshoot a
+                    # seconds budget by minutes. The chunk time is measured
+                    # through the fetch above (dispatch is async; only the
+                    # fetch blocks on device completion).
+                    last_chunk_s = time.perf_counter() - chunk_t0
+                    remaining_s = config.wall_clock_budget_s - (
+                        time.perf_counter() - t0
+                    )
+                    if last_chunk_s > 0 and remaining_s > 0:
+                        cap = int(remaining_s * chunk_steps / last_chunk_s)
+                        bigger = min(bigger, max(cap, 1))
+                    elif remaining_s <= 0:
+                        bigger = chunk_steps  # budget already spent
                 if bigger > chunk_steps:
                     runner = make_runner(bigger)
                     chunk_steps = bigger
 
-            done = fetch(state.done)  # allgathers on a pod
             if should_stop(state, done):
                 break
             if (
@@ -118,7 +130,10 @@ def drive_chunks(
             ):
                 from odesat_tpu.utils.checkpoint import save_state
 
-                save_state(config.checkpoint_path, state, steps_run)
+                save_state(
+                    config.checkpoint_path, state, steps_run,
+                    mesh_layout=mesh_layout,
+                )
     finally:
         if profiling:
             jax.profiler.stop_trace()

@@ -524,9 +524,14 @@ def simulate_batch(
 
     steps_resumed = 0
     if config.resume_from:
-        from odesat_tpu.utils.checkpoint import load_state
+        from odesat_tpu.utils.checkpoint import load_state, validate_mesh_layout
 
-        loaded, steps_resumed = load_state(config.resume_from, ODEState)
+        loaded, steps_resumed, saved_layout = load_state(
+            config.resume_from, ODEState
+        )
+        # the clause axis changes the compiled clause layout itself —
+        # a mismatched resume would be silently wrong, not just misshapen
+        validate_mesh_layout(saved_layout, mesh, what="ODE snapshot")
         state = jax.tree.map(jnp.asarray, loaded)
     else:
         state = init_state(fa, config.batch_size, key, ode, v0=v0)
@@ -539,17 +544,11 @@ def simulate_batch(
     # early-exit window stays ONE inner chunk while dispatch overhead
     # amortizes over up to DISPATCH_STEPS steps.
     chunk_steps = config.chunk_steps
-    # checkpoint cadence is only live when a path is set (the save branch
-    # requires both) — an inert cadence must not disable chunk growth
-    wants_chunk_cadence = bool(
-        (config.checkpoint_every_chunks and config.checkpoint_path)
-        or config.log_every_chunks
-    )
     DISPATCH_STEPS = 262144
     use_device_loop = (
         mesh is None
         and harvest is None  # the oracle exit needs host control per chunk
-        and not wants_chunk_cadence
+        and not config.wants_chunk_cadence()
         # a wall-clock budget is only checked between dispatches: a
         # 262144-step dispatch could overshoot it by minutes on a slow
         # instance, so budgeted runs keep host-paced chunks
@@ -597,6 +596,8 @@ def simulate_batch(
 
     from odesat_tpu.models.loop import drive_chunks
 
+    from odesat_tpu.utils.checkpoint import mesh_layout_of
+
     state, steps_run, wall_time = drive_chunks(
         state,
         make_runner,
@@ -605,6 +606,7 @@ def simulate_batch(
         should_stop=should_stop,
         steps_resumed=steps_resumed,
         chunk_steps=chunk_steps,
+        mesh_layout=mesh_layout_of(mesh),
     )
 
     from odesat_tpu.parallel.dist import fetch

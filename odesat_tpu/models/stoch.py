@@ -318,9 +318,15 @@ def search(
 
     steps_resumed = 0
     if config.resume_from:
-        from odesat_tpu.utils.checkpoint import load_state
+        from odesat_tpu.utils.checkpoint import load_state, validate_mesh_layout
 
-        loaded, steps_resumed = load_state(config.resume_from, StochState)
+        loaded, steps_resumed, saved_layout = load_state(
+            config.resume_from, StochState
+        )
+        # full-layout check (traj AND clause axes — the clause axis
+        # changes the compiled clause order); the key-shape checks below
+        # remain for pre-layout snapshots
+        validate_mesh_layout(saved_layout, mesh, what="stoch snapshot")
         state = jax.tree.map(jnp.asarray, loaded)
         if mesh is not None and (
             state.key.ndim != 2 or state.key.shape[0] != mesh.shape["traj"]
@@ -349,6 +355,7 @@ def search(
         state = shard_stoch_inputs(state, mesh)
 
     from odesat_tpu.models.loop import drive_chunks
+    from odesat_tpu.utils.checkpoint import mesh_layout_of
 
     state, steps_run, wall_time = drive_chunks(
         state,
@@ -357,6 +364,7 @@ def search(
         budget=config.ode.steps,
         should_stop=lambda st, done: bool(done.any()),
         steps_resumed=steps_resumed,
+        mesh_layout=mesh_layout_of(mesh),
     )
 
     from odesat_tpu.parallel.dist import fetch

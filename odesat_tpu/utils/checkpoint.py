@@ -30,7 +30,36 @@ def _atomic_savez(path: str, arrays: dict) -> None:
         raise
 
 
-def save_state(path: str, state, steps: int) -> None:
+def mesh_layout_of(mesh) -> tuple:
+    """(n_traj, n_clause) of a ('traj', 'clause') mesh; (1, 1) for none."""
+    if mesh is None:
+        return (1, 1)
+    return (mesh.shape.get("traj", 1), mesh.shape.get("clause", 1))
+
+
+def validate_mesh_layout(saved, mesh, what: str = "snapshot") -> None:
+    """Reject a resume whose mesh layout differs from the snapshot's.
+
+    The clause axis changes the compiled formula layout itself
+    (compile_for_mesh reorders/re-pads clauses for the shard plan), so a
+    mismatched resume would feed clause memories in the wrong order —
+    silently wrong dynamics when the padded shapes happen to coincide.
+    ``saved`` is None for snapshots written before layouts were recorded;
+    those fall back to the caller's key-shape checks."""
+    if saved is None:
+        return
+    cur = mesh_layout_of(mesh)
+    saved = (int(saved[0]), int(saved[1]))
+    if saved != cur:
+        raise ValueError(
+            f"cannot resume this {what}: it was taken on a "
+            f"(traj={saved[0]}, clause={saved[1]}) mesh but this run uses "
+            f"(traj={cur[0]}, clause={cur[1]}); resume with the same "
+            "--devices/--clause-shards"
+        )
+
+
+def save_state(path: str, state, steps: int, mesh_layout=None) -> None:
     """Atomically snapshot a solver state NamedTuple (ODEState or
     StochState) plus the step counter. On a pod every process
     allgathers the global state (a collective — all must call) but only
@@ -40,21 +69,39 @@ def save_state(path: str, state, steps: int) -> None:
     arrays = {f"field_{name}": fetch(value) for name, value in state._asdict().items()}
     arrays["steps"] = np.asarray(steps)
     arrays["fields"] = np.asarray(list(state._fields))
+    if mesh_layout is not None:
+        arrays["mesh_layout"] = np.asarray(mesh_layout)
     if is_primary():
         _atomic_savez(path, arrays)
 
 
 def load_state(path: str, state_cls):
     """Load a snapshot back into ``state_cls`` (ODEState or StochState).
-    Returns (state, steps)."""
+    Returns (state, steps, mesh_layout) — mesh_layout is None for
+    snapshots written before layouts were recorded."""
     with np.load(path, allow_pickle=False) as data:
+        if "fields" not in data:
+            kind = "hybrid" if "ode_fields" in data else "unrecognized"
+            raise ValueError(
+                f"{path} is a {kind} snapshot, not a single-engine one; "
+                "resume it with the mode that wrote it"
+            )
         fields = [str(f) for f in data["fields"]]
+        if fields != list(state_cls._fields):
+            raise ValueError(
+                f"{path} holds a snapshot with fields {fields}, which do "
+                f"not match {state_cls.__name__}{list(state_cls._fields)}; "
+                "resume it with the engine that wrote it"
+            )
         values = [data[f"field_{name}"] for name in fields]
         steps = int(data["steps"])
-    return state_cls(*values), steps
+        layout = tuple(data["mesh_layout"]) if "mesh_layout" in data else None
+    return state_cls(*values), steps, layout
 
 
-def save_hybrid_state(path: str, ode_state, stoch_state, steps: int) -> None:
+def save_hybrid_state(
+    path: str, ode_state, stoch_state, steps: int, mesh_layout=None
+) -> None:
     """Snapshot the hybrid portfolio's two engine states into one file
     (field keys prefixed per engine; pod semantics as save_state)."""
     from odesat_tpu.parallel.dist import fetch, is_primary
@@ -66,12 +113,15 @@ def save_hybrid_state(path: str, ode_state, stoch_state, steps: int) -> None:
     arrays["steps"] = np.asarray(steps)
     arrays["ode_fields"] = np.asarray(list(ode_state._fields))
     arrays["stoch_fields"] = np.asarray(list(stoch_state._fields))
+    if mesh_layout is not None:
+        arrays["mesh_layout"] = np.asarray(mesh_layout)
     if is_primary():
         _atomic_savez(path, arrays)
 
 
 def load_hybrid_state(path: str, ode_cls, stoch_cls):
-    """Load a hybrid snapshot. Returns (ode_state, stoch_state, steps)."""
+    """Load a hybrid snapshot. Returns (ode_state, stoch_state, steps,
+    mesh_layout) — mesh_layout is None for pre-layout snapshots."""
     with np.load(path, allow_pickle=False) as data:
         if "ode_fields" not in data:
             raise ValueError(
@@ -82,4 +132,5 @@ def load_hybrid_state(path: str, ode_cls, stoch_cls):
             *[data[f"stoch_{f}"] for f in (str(x) for x in data["stoch_fields"])]
         )
         steps = int(data["steps"])
-    return ode, stoch, steps
+        layout = tuple(data["mesh_layout"]) if "mesh_layout" in data else None
+    return ode, stoch, steps, layout

@@ -105,3 +105,14 @@ class SolverConfig:
 
     def with_ode(self, **kwargs) -> "SolverConfig":
         return replace(self, ode=replace(self.ode, **kwargs))
+
+    def wants_chunk_cadence(self) -> bool:
+        """True when the user asked for per-chunk side effects at a fixed
+        interval — checkpoint cadence (only live when a path is set; the
+        save branch requires both) or periodic logging. Shared by the
+        chunk-escalation gate (models/loop.py) and the on-device
+        multi-chunk loop gate (models/ode.py) so the two never drift."""
+        return bool(
+            (self.checkpoint_every_chunks and self.checkpoint_path)
+            or self.log_every_chunks
+        )

@@ -19,9 +19,10 @@ def test_checkpoint_roundtrip(tmp_path, data_dir):
 
     path = str(tmp_path / "ckpt.npz")
     save_state(path, state, steps=123)
-    restored, steps = load_state(path, ODEState)
+    restored, steps, layout = load_state(path, ODEState)
 
     assert steps == 123
+    assert layout is None  # no mesh layout recorded by direct save_state
     for a, b in zip(state, restored):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
@@ -104,9 +105,10 @@ def test_stoch_checkpoint_resume(tmp_path, data_dir):
     assert first.steps == 64
     assert os.path.exists(path)
 
-    restored, steps = load_state(path, StochState)
+    restored, steps, layout = load_state(path, StochState)
     assert 0 < steps <= 64
     assert restored.v.shape[0] == 4
+    assert layout == (1, 1)  # search records the (traj, clause) layout
 
     resumed_config = dataclasses.replace(
         config, resume_from=path, checkpoint_path=None, checkpoint_every_chunks=0
@@ -114,3 +116,62 @@ def test_stoch_checkpoint_resume(tmp_path, data_dir):
     resumed = search(normalized, resumed_config)
     # budget counts from the snapshot's step counter
     assert resumed.steps == 64
+
+
+def test_cross_engine_resume_rejected(tmp_path, data_dir):
+    """An ODE snapshot resumed by the stoch engine (and vice versa, and a
+    hybrid snapshot by either) must fail with a clean ValueError, not a
+    raw KeyError/TypeError."""
+    import pytest
+
+    from odesat_tpu.models.stoch import StochState, init_stoch_state
+    from odesat_tpu.utils.checkpoint import save_hybrid_state
+
+    formula = parse_dimacs_file(os.path.join(data_dir, "small.cnf"))
+    _, normalized = normalize_cnf_variables(formula)
+    fa = compile_formula(normalized, clause_pad=8, var_pad=8)
+    ode_state = init_state(fa, 4, jax.random.PRNGKey(0), ODEConfig())
+    stoch_state = init_stoch_state(fa, 4, jax.random.PRNGKey(1))
+
+    ode_path = str(tmp_path / "ode.npz")
+    save_state(ode_path, ode_state, steps=10)
+    with pytest.raises(ValueError, match="do not match StochState"):
+        load_state(ode_path, StochState)
+
+    hyb_path = str(tmp_path / "hyb.npz")
+    save_hybrid_state(hyb_path, ode_state, stoch_state, steps=10)
+    with pytest.raises(ValueError, match="hybrid snapshot"):
+        load_state(hyb_path, ODEState)
+
+
+def test_mesh_layout_mismatch_rejected(tmp_path, data_dir):
+    """A snapshot recorded on one (traj, clause) layout must not resume
+    on another — the clause axis changes the compiled clause order, so a
+    mismatched resume would be silently wrong, not just misshapen."""
+    import dataclasses
+
+    import pytest
+
+    from odesat_tpu.models.ode import simulate_batch
+    from odesat_tpu.parallel.mesh import make_mesh
+    from odesat_tpu.utils.config import SolverConfig
+
+    formula = parse_dimacs_file(os.path.join(data_dir, "hard.cnf"))
+    _, normalized = normalize_cnf_variables(formula)
+    path = str(tmp_path / "mesh.npz")
+    config = SolverConfig(
+        ode=ODEConfig(step_size=0.01, steps=100),
+        batch_size=8,
+        seed=3,
+        chunk_steps=50,
+        checkpoint_path=path,
+        checkpoint_every_chunks=1,
+    )
+    simulate_batch(normalized, config, mesh=make_mesh(8, 1))
+    assert os.path.exists(path)
+
+    resumed = dataclasses.replace(config, resume_from=path, checkpoint_every_chunks=0)
+    with pytest.raises(ValueError, match="resume with the same"):
+        simulate_batch(normalized, resumed)  # no mesh this time
+    with pytest.raises(ValueError, match="resume with the same"):
+        simulate_batch(normalized, resumed, mesh=make_mesh(4, 2))

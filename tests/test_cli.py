@@ -464,3 +464,22 @@ def test_cli_batch_clause_shards_uses_kernel_path(data_dir, capsys, monkeypatch)
     assert rc == 0
     assert "plan" in seen and seen["plan"] is not None
     assert "Checking if solution vector satisfies formula: true" in capsys.readouterr().out
+
+
+def test_cli_shard_chunk_requires_clause_mesh(data_dir, capsys):
+    """--shard-chunk without a clause axis would silently run the
+    ordinary path; the CLI must reject it instead (the whole-chunk
+    kernel only exists on a clause mesh)."""
+    with pytest.raises(SystemExit) as e:
+        main(
+            [
+                "solve",
+                "-f",
+                os.path.join(data_dir, "small.cnf"),
+                "--shard-chunk",
+                "-n",
+                "10",
+            ]
+        )
+    assert e.value.code == 2
+    assert "--clause-shards" in capsys.readouterr().err

@@ -284,7 +284,9 @@ def test_stoch_mesh_snapshot_rejected_without_mesh(tmp_path):
     resume = dataclasses.replace(
         config, resume_from=path, checkpoint_path=None, checkpoint_every_chunks=0
     )
-    with pytest.raises(ValueError, match="taken on a mesh"):
+    # the recorded (traj, clause) layout check fires first with a clear
+    # message; pre-layout snapshots would hit the key-shape check instead
+    with pytest.raises(ValueError, match="resume with the same"):
         search(normalized, resume)
 
 

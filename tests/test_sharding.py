@@ -533,3 +533,24 @@ def test_shared_dt_on_clause_mesh(data_dir):
     if active.sum() > 1:
         assert np.allclose(dts[active], dts[active][0])
     np.testing.assert_allclose(np.asarray(out.v), np.asarray(ref.v), rtol=1e-5, atol=1e-7)
+
+
+def test_hybrid_clause_mesh_divisibility_precheck():
+    """A caller-supplied plain FormulaArrays whose padded clause axis does
+    not divide the clause mesh must fail with the same clear error as
+    models/stoch.py, not a cryptic shard_map error."""
+    import pytest
+
+    from odesat_tpu.cnf import compile_formula, normalize_cnf_variables
+    from odesat_tpu.models.hybrid import hybrid_search
+    from odesat_tpu.parallel.mesh import make_mesh
+    from odesat_tpu.utils.config import ODEConfig, SolverConfig
+    from odesat_tpu.utils.generate import random_ksat
+
+    _, normalized = normalize_cnf_variables(random_ksat(24, 97, k=3, seed=0))
+    fa = compile_formula(normalized, clause_pad=4, var_pad=8)
+    assert fa.n_clauses_padded % 8  # 97 -> padded 100; 100 % 8 = 4
+    mesh = make_mesh(1, 8)
+    config = SolverConfig(ode=ODEConfig(steps=8), batch_size=4, seed=1)
+    with pytest.raises(ValueError, match="does not divide"):
+        hybrid_search(fa, config, mesh=mesh)
