@@ -108,3 +108,51 @@ def test_profile_dir_writes_trace(tmp_path):
         for f in files
     ]
     assert found, "profiler produced no trace files"
+
+
+def test_chunk_growth_respects_wall_budget():
+    """Chunk escalation must bound the grown chunk's predicted duration
+    by the remaining wall budget — the budget is only checked between
+    chunks, so an unbounded 16x growth could overshoot it by minutes."""
+    import time
+    from types import SimpleNamespace
+
+    import numpy as np
+
+    from odesat_tpu.models.loop import drive_chunks
+    from odesat_tpu.utils.config import ODEConfig, SolverConfig
+
+    sizes = []
+    state0 = SimpleNamespace(done=np.zeros(1, dtype=bool))
+
+    def make_runner(n):
+        sizes.append(n)
+
+        def run(state):
+            time.sleep(0.02)  # ~0.02 s per chunk regardless of n (stub)
+            return state
+
+        return run
+
+    config = SolverConfig(
+        ode=ODEConfig(step_size=0.01),
+        chunk_steps=10,
+        # 8 warm-up chunks cost ~0.16 s, leaving <=0.14 s at the growth
+        # decision: the steps-proportional prediction caps the grown
+        # chunk at ~70 steps, well under the uncapped 16x jump to 160
+        wall_clock_budget_s=0.3,
+    )
+    drive_chunks(
+        state0,
+        make_runner,
+        config,
+        budget=None,
+        should_stop=lambda st, done: False,
+    )
+    # growth happened (the budget allows more than one 10-step chunk)…
+    assert len(sizes) >= 2 and sizes[0] == 10
+    for grown in sizes[1:]:
+        # …but every grown chunk was capped by remaining_s / (s per step):
+        # at ~0.02 s per 10-step chunk the full budget never supports the
+        # uncapped 16x jump to 160 steps, let alone GROW_CAP
+        assert grown < 160
