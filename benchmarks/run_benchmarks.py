@@ -70,19 +70,6 @@ def throughput(fa, ode, batch, chunk, repeats=3):
     return rate
 
 
-def time_to_solution(formula, config, seeds):
-    """Median wall time to a verified-done batch over seeds."""
-    times = []
-    solved = 0
-    for seed in seeds:
-        cfg = config
-        t0 = time.perf_counter()
-        result = simulate_batch(formula, cfg, key=jax.random.PRNGKey(seed))
-        times.append(time.perf_counter() - t0)
-        solved += int(result.any_solved)
-    return float(np.median(times)), solved, len(seeds)
-
-
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true", help="smaller batches/steps")
@@ -103,14 +90,40 @@ def main():
         "note": "B=1 is the reference's solve mode; dispatch-amortized chunks",
     }
 
-    # --- config 2: small.cnf batch 100 fixed ------------------------------
+    # --- config 2: small.cnf batch 100 fixed (load-robust protocol:
+    # exact steps-to-solution + compute/dispatch/wall split, the same
+    # odesat_tpu.utils.tts implementation tools/uf250_tts.py uses) ------
+    from odesat_tpu.utils.tts import (
+        measure_dispatch_latency,
+        solve_exact,
+        tts_breakdown,
+    )
+
+    dispatch_s = measure_dispatch_latency()
+    results["dispatch_latency_s"] = dispatch_s
+
     formula = parse_dimacs_file(os.path.join(DATA, "small.cnf"))
     _, normalized = normalize_cnf_variables(formula)
-    config = SolverConfig(ode=ODEConfig(step_size=0.01, steps=1000), batch_size=100, seed=0)
-    med, solved, n = time_to_solution(normalized, config, seeds=range(3 if q else 5))
+    fa2 = compile_formula(normalized)
+    ode2 = ODEConfig(step_size=0.01)
+    rate2 = throughput(fa2, ode2, batch=100, chunk=1000)
+    cache2: dict = {}
+    rows2 = []
+    for seed in range(3 if q else 5):
+        res = solve_exact(fa2, ode2, 100, jax.random.PRNGKey(seed), 64, 1000,
+                          runner_cache=cache2)
+        rows2.append(
+            tts_breakdown(res.steps, res.chunks, 100, rate2, dispatch_s,
+                          res.wall_s)
+            | {"solved": res.solved}
+        )
     results["configs"]["small_batch100_fixed"] = {
-        "median_tts_s": med,
-        "solved": f"{solved}/{n}",
+        "median_steps_to_solution": int(np.median([r["steps"] for r in rows2])),
+        "compute_tts_s": float(np.median([r["compute_s"] for r in rows2])),
+        "median_wall_s": float(np.median([r["wall_s"] for r in rows2])),
+        "solved": f"{sum(r['solved'] for r in rows2)}/{len(rows2)}",
+        "note": "exact steps via final-chunk bisection (utils/tts.py); "
+        "wall includes per-chunk host round trips",
     }
 
     # --- config 3: hard.cnf adaptive --------------------------------------
@@ -217,47 +230,41 @@ def main():
     }
 
     # --- config 5b: uf250 time-to-solution (north-star metric) ------------
-    # Load-robust protocol (round-2 VERDICT item 6; full version with
-    # dispatch-latency separation in tools/uf250_tts.py): report the
-    # deterministic steps-to-solution and its conversion at the measured
-    # kernel rate alongside wall clock, so host/tunnel noise is visible
-    # instead of absorbed into the headline.
+    # Load-robust protocol, same odesat_tpu.utils.tts implementation as
+    # tools/uf250_tts.py (round-3 VERDICT items 3+5: exact sub-chunk
+    # steps-to-solution via final-chunk bisection, ONE protocol so
+    # results.json and RESULTS.md agree).
     from odesat_tpu.utils.generate import uf_instance
 
     b_tts = 1024 if q else 4096
     inst0 = uf_instance(250, seed=0)
     _, norm0 = normalize_cnf_variables(inst0)
+    ode_tts = ODEConfig(step_size=0.01, matmul_dtype="bfloat16")
     rate_tts = throughput(
-        compile_formula(norm0),
-        ODEConfig(step_size=0.01, matmul_dtype="bfloat16"),
-        batch=b_tts,
-        chunk=200 if q else 2000,
+        compile_formula(norm0), ode_tts, batch=b_tts, chunk=200 if q else 2000
     )
-    tts = []
-    steps_list = []
-    solved_n = 0
+    cache5: dict = {}
+    rows5 = []
     n_seeds = 3 if q else 5
     for seed in range(n_seeds):
         inst = uf_instance(250, seed=seed)
         _, norm_i = normalize_cnf_variables(inst)
-        cfg = SolverConfig(
-            ode=ODEConfig(step_size=0.01, steps=20000, matmul_dtype="bfloat16"),
-            batch_size=b_tts,
-            seed=seed,
-            chunk_steps=500,
+        res = solve_exact(
+            compile_formula(norm_i), ode_tts, b_tts, jax.random.PRNGKey(seed),
+            64, 20000, runner_cache=cache5,
         )
-        t0 = time.perf_counter()
-        res = simulate_batch(norm_i, cfg)
-        tts.append(time.perf_counter() - t0)
-        steps_list.append(res.steps)
-        solved_n += int(res.any_solved)
+        rows5.append(
+            tts_breakdown(res.steps, res.chunks, b_tts, rate_tts, dispatch_s,
+                          res.wall_s)
+            | {"solved": res.solved}
+        )
     results["configs"]["uf250_median_tts"] = {
-        "median_steps_to_solution": int(np.median(steps_list)),
-        "compute_tts_s": float(np.median(steps_list) * b_tts / rate_tts),
-        "median_wall_s": float(np.median(tts)),
-        "solved": f"{solved_n}/{n_seeds}",
-        "note": "steps-to-solution is deterministic per seed (chunk-granular); "
-        "wall - compute = host/dispatch share (see tools/uf250_tts.py)",
+        "median_steps_to_solution": int(np.median([r["steps"] for r in rows5])),
+        "compute_tts_s": float(np.median([r["compute_s"] for r in rows5])),
+        "median_wall_s": float(np.median([r["wall_s"] for r in rows5])),
+        "solved": f"{sum(r['solved'] for r in rows5)}/{n_seeds}",
+        "note": "EXACT steps-to-solution (final-chunk bisection, utils/tts.py); "
+        "wall - compute - dispatch = host/load noise (see tools/uf250_tts.py)",
     }
 
     # --- config 6: locally-structured n=4096 (windowed streaming) ---------

@@ -82,10 +82,15 @@ def _add_common(p: argparse.ArgumentParser, batch_required: bool = False) -> Non
     )
     p.add_argument(
         "--shard-chunk",
-        action="store_true",
+        nargs="?",
+        const="on",
+        default="auto",
+        choices=("auto", "on", "off"),
         help="clause-mesh whole-chunk kernel with the dv all-reduce done "
-        "inside the kernel via remote DMA over ICI (prototype; needs a "
-        "power-of-two --clause-shards and real TPU hardware)",
+        "inside the kernel via remote DMA over ICI (needs a power-of-two "
+        "--clause-shards and real TPU hardware). Default 'auto' picks it "
+        "in its measured-winning regime (small per-shard plane sweeps); "
+        "bare --shard-chunk forces it on; 'off' forces the per-step path",
     )
     p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
                    help="jax.distributed coordinator address (multi-host)")
@@ -186,7 +191,10 @@ def _build_parser() -> argparse.ArgumentParser:
 def _config_from_args(args, batch_size: int = 1) -> SolverConfig:
     tol = getattr(args, "tolerance", None)
     ratio = getattr(args, "ctv_ratio", None)
-    if getattr(args, "shard_chunk", False) and getattr(args, "clause_shards", 1) <= 1:
+    if (
+        getattr(args, "shard_chunk", "auto") == "on"
+        and getattr(args, "clause_shards", 1) <= 1
+    ):
         # the whole-chunk kernel only exists on a clause mesh; silently
         # running the ordinary path would misreport what was benchmarked
         print(
@@ -206,7 +214,7 @@ def _config_from_args(args, batch_size: int = 1) -> SolverConfig:
         dv_strategy=args.dv_strategy,
         matmul_dtype=args.matmul_dtype,
         dt_mode=getattr(args, "dt_mode", "per-trajectory"),
-        shard_chunk=getattr(args, "shard_chunk", False),
+        shard_chunk=getattr(args, "shard_chunk", "auto"),
     )
     return SolverConfig(
         ode=ode,

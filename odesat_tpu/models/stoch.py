@@ -300,13 +300,22 @@ def search(
                 f"{n_traj} trajectory devices"
             )
 
+        from odesat_tpu.ops.shard_chunk import resolve_shard_chunk
+
+        use_shard_chunk = n_clause > 1 and resolve_shard_chunk(
+            config.ode,
+            fa.shard_plan,
+            2 if config.ode.matmul_dtype == "bfloat16" else 4,
+            engine="stoch",
+        )
+
         def make_runner(n):
             return make_sharded_stoch_runner(
                 fa,
                 n,
                 mesh,
                 matmul_dtype=config.ode.matmul_dtype,
-                shard_chunk=config.ode.shard_chunk and n_clause > 1,
+                shard_chunk=use_shard_chunk,
             )
 
     else:

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from odesat_tpu.ops.kernelctx import pallas_call_32bit
 
 from odesat_tpu.cnf.arrays import FormulaArrays
 from odesat_tpu.constants import (
@@ -375,7 +376,7 @@ def make_fused_chunk(
             shape, lambda i: (0, 0), memory_space=pltpu.VMEM
         )
 
-        v, xs, xl, dt_o, done_o = pl.pallas_call(
+        v, xs, xl, dt_o, done_o = pallas_call_32bit(
             kernel,
             grid=grid,
             in_specs=[

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from odesat_tpu.ops.kernelctx import pallas_call_32bit
 
 from odesat_tpu.cnf.arrays import FormulaArrays
 from odesat_tpu.constants import ALPHA, BETA, DELTA, EPSILON, GAMMA
@@ -168,7 +169,7 @@ def make_pallas_rhs(
         B = v.shape[0]
         Bb = _pick_block(B, traj_block)
         grid = (B // Bb, Mp // Mb)
-        dv, dxs, dxl, c = pl.pallas_call(
+        dv, dxs, dxl, c = pallas_call_32bit(
             kernel,
             grid=grid,
             in_specs=[

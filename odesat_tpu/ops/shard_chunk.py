@@ -44,6 +44,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from odesat_tpu.ops.kernelctx import pallas_call_32bit
 
 from odesat_tpu.constants import (
     ALPHA,
@@ -70,6 +71,44 @@ from odesat_tpu.ops.shard_stream import (
 
 _INF = float("inf")
 EXT = SPAN  # lane width of the flag extension riding with dv
+
+
+# 'auto' dispatch regime gate, keyed on the per-shard plane sweep the
+# kernel streams from HBM every step. Measured at S=1 on v5e
+# (benchmarks/results.json round 3): 25.5 MiB planes (random n=1k) ->
+# whole-chunk WINS 1.13x over the per-step launch path; 192 MiB planes
+# (local n=10240) -> whole-chunk LOSES 19%. The crossover sits between
+# those brackets; 64 MiB splits them and matches the n=4096 midpoint the
+# measurement runbook (tools/measure_all.py) re-brackets on hardware.
+SHARD_CHUNK_AUTO_PLANE_BYTES = 64 * 2**20
+
+
+def resolve_shard_chunk(ode, plan: StreamShardPlan | None, itemsize: int = 4,
+                        engine: str = "ode") -> bool:
+    """Map ``ODEConfig.shard_chunk`` ('auto' | 'on' | 'off'; legacy bools
+    accepted) to a concrete kernel choice for this plan.
+
+    'on' forces the whole-chunk kernel (callers still validate
+    eligibility and raise loudly); 'off' forces the per-step launch
+    path; 'auto' picks the whole-chunk kernel only in its
+    measured-winning regime (small per-shard plane sweeps — see
+    SHARD_CHUNK_AUTO_PLANE_BYTES). The stoch engine's whole-chunk
+    variant has no hardware numbers yet (round-3 outage), so its 'auto'
+    stays on the measured per-step path until the runbook brackets it.
+    """
+    value = ode.shard_chunk
+    if isinstance(value, bool):  # legacy boolean configs
+        value = "on" if value else "off"
+    if value == "on":
+        return True
+    if value == "off":
+        return False
+    if value != "auto":
+        raise ValueError(f"shard_chunk must be 'auto', 'on' or 'off', got {value!r}")
+    if plan is None or engine != "ode":
+        return False
+    plane_bytes = int(plan.planes.shape[1]) * SPAN * itemsize
+    return plane_bytes <= SHARD_CHUNK_AUTO_PLANE_BYTES
 
 
 def shard_chunk_supported(fa, plan: StreamShardPlan, ode, itemsize: int = 4) -> bool:
@@ -542,7 +581,7 @@ def make_shard_chunk_call(
                 ]
             ),
         ]
-        outs = pl.pallas_call(
+        outs = pallas_call_32bit(
             kernel,
             grid_spec=grid_spec,
             out_shape=out_shape,

@@ -51,6 +51,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from odesat_tpu.ops.kernelctx import pallas_call_32bit
 
 from odesat_tpu.cnf.formula import CNFFormula
 from odesat_tpu.constants import ALPHA, BETA, DELTA, EPSILON, GAMMA
@@ -691,7 +692,7 @@ def _make_shard_call(
             if mode == "rhs"
             else {1 + n_scalar_rows + 1: 1, 1 + n_scalar_rows + 2: 2}
         )
-        return pl.pallas_call(
+        return pallas_call_32bit(
             kernel,
             grid_spec=grid_spec,
             out_shape=[

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from odesat_tpu.ops.kernelctx import pallas_call_32bit
 
 from odesat_tpu.cnf.arrays import FormulaArrays
 from odesat_tpu.constants import STOCH_ALPHA
@@ -237,7 +238,7 @@ def make_fused_stoch_chunk(
             shape, lambda i: (0, 0), memory_space=pltpu.VMEM
         )
 
-        v_o, xl_o, done_o = pl.pallas_call(
+        v_o, xl_o, done_o = pallas_call_32bit(
             kernel,
             grid=(B // Bb,),
             in_specs=[
@@ -542,7 +543,7 @@ def make_stream_stoch_chunk(
             16 * 1024 * 1024, min(int(static_vmem * 1.8), 96 * 1024 * 1024)
         )
 
-        v_out, xl_out, done_out = pl.pallas_call(
+        v_out, xl_out, done_out = pallas_call_32bit(
             kernel,
             grid=(B // Bb,),
             in_specs=[
@@ -810,7 +811,7 @@ def make_stoch_shard_eval(
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
-        tot, uns, xl_new, sat = pl.pallas_call(
+        tot, uns, xl_new, sat = pallas_call_32bit(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
@@ -1157,7 +1158,7 @@ def make_stoch_shard_chunk(
                 pltpu.SemaphoreType.DMA((travel_slots(n_rounds),)),  # remote recv
             ],
         )
-        v_o, done_o, xl_o = pl.pallas_call(
+        v_o, done_o, xl_o = pallas_call_32bit(
             kernel,
             grid_spec=grid_spec,
             out_shape=[

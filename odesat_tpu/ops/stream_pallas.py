@@ -53,6 +53,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from odesat_tpu.ops.kernelctx import pallas_call_32bit
 
 from odesat_tpu.cnf.arrays import FormulaArrays
 from odesat_tpu.constants import (
@@ -638,7 +639,7 @@ def make_stream_chunk(
         )
 
         n_window_flops = sum(kb * w * SPAN for _, kb, w, _, _ in span_meta)
-        outs = pl.pallas_call(
+        outs = pallas_call_32bit(
             kernel,
             grid=grid,
             in_specs=[

@@ -127,6 +127,95 @@ def shard_state(state: ODEState, mesh: Mesh) -> ODEState:
     )
 
 
+def make_shard_chunk_sharded(
+    fa: FormulaArrays,
+    zeta: float,
+    ode: ODEConfig,
+    chunk_steps: int,
+    mesh: Mesh,
+    interpret: bool | None = None,
+):
+    """shard_map-wrapped whole-chunk clause-shard ODE kernel over a
+    ('traj', 'clause') mesh — the production `--shard-chunk` runner.
+    Shared by make_sharded_chunk_runner (execution) and
+    tools/aot_collective.py (AOT compile of the in-kernel butterfly
+    collective against a mock TPU topology, where ``interpret=False`` is
+    forced so Mosaic lowers the barrier semaphore and the MESH-addressed
+    remote DMAs without hardware)."""
+    from odesat_tpu.ops.shard_chunk import make_shard_chunk_call
+
+    chunk_call = make_shard_chunk_call(fa, zeta, ode, chunk_steps, interpret=interpret)
+
+    def chunk_local(state: ODEState, dev: FormulaDevice) -> ODEState:
+        v, xs, xl, dt, done = chunk_call(
+            state.v, state.xs, state.xl, state.dt, state.done,
+            dev.planes[0], dev.span_lo[0], dev.span_bias[0],
+            dev.clause_mask,
+        )
+        return ODEState(v, xs, xl, dt, done)
+
+    sharded = shard_map(
+        chunk_local,
+        mesh=mesh,
+        in_specs=(STATE_SPECS, _dev_specs(True)),
+        out_specs=STATE_SPECS,
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=0)
+
+
+def make_stoch_shard_chunk_sharded(
+    fa: FormulaArrays,
+    chunk_steps: int,
+    mesh: Mesh,
+    matmul_dtype: str = "float32",
+    interpret: bool | None = None,
+):
+    """shard_map-wrapped whole-chunk clause-shard stoch kernel — the
+    production stoch `--shard-chunk` runner. Returns
+    ``(jitted, state_specs, arg_specs)``; the caller lays out the plan
+    arrays per ``arg_specs``. Shared by make_sharded_stoch_runner
+    (execution) and tools/aot_collective.py (AOT compile, see
+    make_shard_chunk_sharded)."""
+    import jax.numpy as jnp
+
+    from odesat_tpu.models.stoch import StochState
+    from odesat_tpu.ops.stoch_pallas import make_stoch_shard_chunk
+
+    chunk_call = make_stoch_shard_chunk(
+        fa, chunk_steps, matmul_dtype=matmul_dtype, interpret=interpret
+    )
+
+    def chunk_local(state: StochState, args) -> StochState:
+        planes, lo, sbias, nsign, cmask = args
+        # the per-traj key is replicated over the clause axis, so every
+        # clause shard derives the SAME seed and the in-kernel PRNG
+        # streams agree
+        key, sub = jax.random.split(state.key[0])
+        seed = jax.random.randint(sub, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+        v, xl, done = chunk_call(
+            state.v.astype(jnp.float32),
+            state.xl.astype(jnp.float32),
+            state.done,
+            seed,
+            planes[0], lo[0], sbias[0], nsign[0], cmask,
+        )
+        return StochState(v > 0.5, xl.astype(jnp.int32), done, key[None])
+
+    state_specs = StochState(
+        v=P("traj"), xl=P("traj", "clause"), done=P("traj"), key=P("traj")
+    )
+    arg_specs = (P("clause"), P("clause"), P("clause"), P("clause"), P("clause"))
+    sharded = shard_map(
+        chunk_local,
+        mesh=mesh,
+        in_specs=(state_specs, arg_specs),
+        out_specs=state_specs,
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=0), state_specs, arg_specs
+
+
 def make_sharded_chunk_runner(
     fa: FormulaArrays, zeta: float, ode: ODEConfig, chunk_steps: int, mesh: Mesh
 ):
@@ -193,48 +282,44 @@ def make_sharded_chunk_runner(
                 "compiled via compile_for_mesh (clause-sharded plan) with "
                 "no unit clauses, dtype=float32, per-trajectory dt"
             )
-        if eligible and ode.shard_chunk:
+        from odesat_tpu.ops.shard_chunk import (
+            resolve_shard_chunk,
+            shard_chunk_supported,
+        )
+
+        forced_on = ode.shard_chunk in ("on", True)
+        if eligible and resolve_shard_chunk(ode, plan, itemsize):
             # whole-chunk clause-sharded kernel: dv all-reduced INSIDE
             # the kernel via remote DMA (ops/shard_chunk.py); one launch
-            # per chunk instead of per step
-            from odesat_tpu.ops.shard_chunk import (
-                make_shard_chunk_call,
-                shard_chunk_supported,
-            )
-
-            if not shard_chunk_supported(fa, plan, ode, itemsize):
+            # per chunk instead of per step. 'auto' lands here only in
+            # the kernel's measured-winning regime (small plane sweeps —
+            # resolve_shard_chunk); 'on' forces it and errors loudly.
+            supported = shard_chunk_supported(fa, plan, ode, itemsize)
+            # the interpret-mode remote-DMA discharge supports ONE named
+            # mesh axis; off-TPU validation runs through the clause-only
+            # harness in tests/test_shard_chunk.py
+            runnable = jax.default_backend() == "tpu" or n_clause <= 1
+            if forced_on and not supported:
                 raise ValueError(
                     "shard_chunk needs a power-of-two clause axis, f32 "
                     "state, and per-trajectory dt"
                 )
-            if jax.default_backend() != "tpu" and n_clause > 1:
-                # the interpret-mode remote-DMA discharge supports ONE
-                # named mesh axis; off-TPU validation runs through the
-                # clause-only harness in tests/test_shard_chunk.py
+            if forced_on and not runnable:
                 raise ValueError(
                     "shard_chunk with a clause axis needs real TPU "
                     "hardware (interpret mode cannot simulate remote DMA "
                     "under a two-axis mesh); validate via the clause-only "
                     "test harness instead"
                 )
-            chunk_call = make_shard_chunk_call(fa, zeta, ode, chunk_steps)
-
-            def chunk_local(state: ODEState, dev: FormulaDevice) -> ODEState:
-                v, xs, xl, dt, done = chunk_call(
-                    state.v, state.xs, state.xl, state.dt, state.done,
-                    dev.planes[0], dev.span_lo[0], dev.span_bias[0],
-                    dev.clause_mask,
-                )
-                return ODEState(v, xs, xl, dt, done)
-
-            sharded = shard_map(
-                chunk_local,
-                mesh=mesh,
-                in_specs=(STATE_SPECS, _dev_specs(True)),
-                out_specs=STATE_SPECS,
-                check_vma=False,
+            if supported and runnable:
+                return make_shard_chunk_sharded(fa, zeta, ode, chunk_steps, mesh)
+            # 'auto' + ineligible/off-TPU: the per-step path below
+        elif forced_on and not eligible:
+            raise ValueError(
+                "shard_chunk='on' needs a clause-shard plan eligible for "
+                "the streaming kernel (compile via compile_for_mesh; f32 "
+                "state, per-trajectory dt)"
             )
-            return jax.jit(sharded, donate_argnums=0)
         if eligible:
             fused_step = make_fused_clause_step(fa, zeta, ode, clause_axis="clause")
 
@@ -367,7 +452,6 @@ def make_sharded_stoch_runner(
                 # whole-chunk variant: weight-sum all-reduce IN-kernel
                 # (butterfly over ICI remote DMA), one launch per chunk
                 from odesat_tpu.ops.stoch_pallas import (
-                    make_stoch_shard_chunk,
                     stoch_shard_chunk_supported,
                 )
 
@@ -387,41 +471,9 @@ def make_sharded_stoch_runner(
                         "TPU hardware (interpret mode cannot simulate "
                         "remote DMA under a two-axis mesh)"
                     )
-                chunk_call = make_stoch_shard_chunk(
-                    fa, chunk_steps, matmul_dtype=matmul_dtype
+                jitted, _, arg_specs = make_stoch_shard_chunk_sharded(
+                    fa, chunk_steps, mesh, matmul_dtype=matmul_dtype
                 )
-
-                def chunk_local(state: StochState, args) -> StochState:
-                    planes, lo, sbias, nsign, cmask = args
-                    # the per-traj key is replicated over the clause axis,
-                    # so every clause shard derives the SAME seed and the
-                    # in-kernel PRNG streams agree
-                    key, sub = jax.random.split(state.key[0])
-                    seed = jax.random.randint(
-                        sub, (1,), 0, 2**31 - 1, dtype=jnp.int32
-                    )
-                    v, xl, done = chunk_call(
-                        state.v.astype(jnp.float32),
-                        state.xl.astype(jnp.float32),
-                        state.done,
-                        seed,
-                        planes[0], lo[0], sbias[0], nsign[0], cmask,
-                    )
-                    return StochState(
-                        v > 0.5, xl.astype(jnp.int32), done, key[None]
-                    )
-
-                arg_specs = (
-                    P("clause"), P("clause"), P("clause"), P("clause"), P("clause")
-                )
-                sharded = shard_map(
-                    chunk_local,
-                    mesh=mesh,
-                    in_specs=(specs, arg_specs),
-                    out_specs=specs,
-                    check_vma=False,
-                )
-                jitted = jax.jit(sharded, donate_argnums=0)
                 mm = jnp.bfloat16 if matmul_dtype == "bfloat16" else jnp.float32
                 args = (
                     jnp.asarray(plan.planes).astype(mm),

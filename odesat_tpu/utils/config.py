@@ -65,10 +65,19 @@ class ODEConfig:
     dt_mode: str = "per-trajectory"
     # clause-mesh whole-chunk kernel with the dv all-reduce done INSIDE
     # the kernel via Pallas remote DMA over ICI (ops/shard_chunk.py) —
-    # prototype flag; needs a power-of-two clause axis. Off by default:
-    # the collective path is interpret-validated on the CPU mesh but has
-    # never run on real multi-chip hardware (RESULTS.md known gap #0).
-    shard_chunk: bool = False
+    # needs a power-of-two clause axis.
+    #   "auto" - pick the whole-chunk kernel in its measured-winning
+    #            regime (small per-shard plane sweeps; the per-step
+    #            launch path wins on huge plans — measured 1.13x for /
+    #            19% against at S=1, ops/shard_chunk.resolve_shard_chunk)
+    #   "on"   - force the whole-chunk kernel (errors if ineligible)
+    #   "off"  - force the per-step launch path
+    # Legacy bools are accepted (True -> "on", False -> "off"). The
+    # multi-chip collective is interpret-validated on the CPU mesh and
+    # AOT-compiled for mock pod topologies (tools/aot_collective.py);
+    # first hardware runs self-check via the cross-shard consistency
+    # assertion (RESULTS.md known gap #0).
+    shard_chunk: str | bool = "auto"
 
     def resolve_zeta(self, density: float) -> float:
         return self.zeta if self.zeta is not None else zeta_for_density(density)

@@ -429,3 +429,55 @@ def test_stoch_shard_chunk_production_path_gated_off_tpu():
     fa = compile_for_mesh(normalized, SolverConfig(ode=ode), mesh)
     with pytest.raises(ValueError, match="real TPU"):
         make_sharded_stoch_runner(fa, 8, mesh, shard_chunk=True)
+
+
+def test_resolve_shard_chunk_auto_picks_measured_winner():
+    """The 'auto' dispatch must choose the whole-chunk kernel only in
+    its measured-winning regime: small per-shard plane sweeps win
+    (random n=1k, 25.5 MiB -> 1.13x), huge ones lose (local n=10240,
+    192 MiB -> -19%). Pins the 64 MiB crossover choice."""
+    from types import SimpleNamespace
+
+    from odesat_tpu.ops.shard_chunk import (
+        SHARD_CHUNK_AUTO_PLANE_BYTES,
+        resolve_shard_chunk,
+    )
+
+    ode_auto = ODEConfig(step_size=0.01)  # shard_chunk defaults to "auto"
+    assert ode_auto.shard_chunk == "auto"
+    small = SimpleNamespace(planes=np.zeros((1, 104448, 128), np.float32))
+    huge = SimpleNamespace(planes=np.zeros((1, 787968, 128), np.float32))
+    assert resolve_shard_chunk(ode_auto, small, itemsize=2) is True
+    assert resolve_shard_chunk(ode_auto, huge, itemsize=2) is False
+    # the measured bracket pins the constant's position
+    assert 104448 * 128 * 2 <= SHARD_CHUNK_AUTO_PLANE_BYTES < 787968 * 128 * 2
+
+    # forced modes override the regime; legacy bools still map
+    ode_on = ODEConfig(step_size=0.01, shard_chunk="on")
+    ode_off = ODEConfig(step_size=0.01, shard_chunk="off")
+    assert resolve_shard_chunk(ode_on, huge, itemsize=2) is True
+    assert resolve_shard_chunk(ode_off, small, itemsize=2) is False
+    assert resolve_shard_chunk(ODEConfig(shard_chunk=True), huge) is True
+    assert resolve_shard_chunk(ODEConfig(shard_chunk=False), small) is False
+
+    # the stoch whole-chunk variant has no hardware numbers yet: its
+    # 'auto' stays on the per-step path until the runbook brackets it
+    assert resolve_shard_chunk(ode_auto, small, itemsize=2, engine="stoch") is False
+    assert resolve_shard_chunk(ode_on, small, itemsize=2, engine="stoch") is True
+
+
+def test_auto_dispatch_falls_back_off_tpu_without_error():
+    """Off-TPU, 'auto' must quietly take the per-step path on a clause
+    mesh (only an explicit 'on' may raise the real-TPU error) — a CPU
+    user with the default config must never hit the hardware gate."""
+    from odesat_tpu.parallel.mesh import make_mesh
+    from odesat_tpu.parallel.sharded import compile_for_mesh, make_sharded_chunk_runner
+    from odesat_tpu.utils.config import SolverConfig
+
+    formula = random_ksat(96, 420, k=3, seed=5, planted=True)
+    _, normalized = normalize_cnf_variables(formula)
+    mesh = make_mesh(4, 2)
+    ode = ODEConfig(step_size=0.01)  # auto; small plan = in-regime
+    fa = compile_for_mesh(normalized, SolverConfig(ode=ode), mesh)
+    runner = make_sharded_chunk_runner(fa, 0.001, ode, 8, mesh)
+    assert runner is not None  # per-step fallback, no raise

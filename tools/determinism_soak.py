@@ -53,7 +53,9 @@ def run_repeats(name, make_state, runner, repeats, fields):
 
 
 def main():
-    repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    args = [a for a in sys.argv[1:] if a != "--quick"]
+    quick = len(args) < len(sys.argv) - 1
+    repeats = int(args[0]) if args else (2 if quick else 4)
     ok = True
 
     formula = parse_dimacs_file(os.path.join(HERE, "tests", "data", "hard.cnf"))
