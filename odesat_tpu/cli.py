@@ -44,7 +44,12 @@ from odesat_tpu.utils.config import ODEConfig, SolverConfig
 
 def _add_common(p: argparse.ArgumentParser, batch_required: bool = False) -> None:
     p.add_argument("-f", "--input", required=True, help="input DIMACS CNF file")
-    p.add_argument("-o", "--output", default=None, help="optional output file")
+    p.add_argument(
+        "-o", "--output", default=None,
+        help="optional output file (multi-host runs write it on the "
+        "primary process only — point it at a shared filesystem, or "
+        "collect it from the coordinator host)",
+    )
     p.add_argument("--seed", type=int, default=None, help="PRNG seed (reproducible runs)")
     p.add_argument("--chunk-steps", type=int, default=256, help="scan steps per dispatch")
     p.add_argument("--rigidity", choices=["paper", "reference"], default="paper")
@@ -134,6 +139,13 @@ def _build_parser() -> argparse.ArgumentParser:
     solve.add_argument("-s", "--step-size", type=float, default=None)
     solve.add_argument("-l", "--learning-rate", type=float, default=None)
     solve.add_argument("-r", "--ctv-ratio", type=float, default=None)
+    solve.add_argument(
+        "--solve-batch", type=int, default=8, metavar="B",
+        help="race B random initializations and return the first verified "
+        "winner (single solves are latency-bound: B=8 costs the same wall "
+        "time per step as B=1 on the TPU and typically solves in fewer "
+        "steps; pass 1 to restore the reference's single-trajectory solve)",
+    )
 
     stoch = sub.add_parser("stoch", help="Run a stochastic search")
     _add_common(stoch)
@@ -323,7 +335,11 @@ def _maybe_preprocess(formula, config):
 
 def cmd_solve(args) -> int:
     formula = _load(args)
-    config = _config_from_args(args)
+    # race a micro-batch of random inits (reference solve draws ONE
+    # random init, src/system.rs:171 — racing B inits and returning the
+    # first winner preserves that contract; a single solve is
+    # dispatch-latency-bound, so the extra trajectories are ~free)
+    config = _config_from_args(args, batch_size=max(1, args.solve_batch))
 
     reduced, trace = _maybe_preprocess(formula, config)
     var_mapping, normalized = normalize_cnf_variables(reduced)
@@ -333,7 +349,16 @@ def cmd_solve(args) -> int:
     print("Simulating...")
     from odesat_tpu.models.ode import simulate_batch
 
-    result = _or_exit(simulate_batch, normalized, config, mesh=_mesh_from_args(args))
+    mesh = _mesh_from_args(args)
+    if mesh is not None:
+        import dataclasses
+
+        # the micro-batch must split evenly over the trajectory axis
+        nt = mesh.shape.get("traj", 1)
+        config = dataclasses.replace(
+            config, batch_size=-(-config.batch_size // nt) * nt
+        )
+    result = _or_exit(simulate_batch, normalized, config, mesh=mesh)
 
     print("Mapping values...")
     mapped_values = map_values_by_indices(var_mapping, result.best_assignment())

@@ -530,8 +530,12 @@ def simulate_batch(
             config.resume_from, ODEState
         )
         # the clause axis changes the compiled clause layout itself —
-        # a mismatched resume would be silently wrong, not just misshapen
-        validate_mesh_layout(saved_layout, mesh, what="ODE snapshot")
+        # a mismatched resume would be silently wrong, not just misshapen.
+        # The traj axis is pure DP for the ODE state and may reshard
+        # freely (traj_sensitive=False); stoch/hybrid keep the full check
+        validate_mesh_layout(
+            saved_layout, mesh, what="ODE snapshot", traj_sensitive=False
+        )
         state = jax.tree.map(jnp.asarray, loaded)
     else:
         state = init_state(fa, config.batch_size, key, ode, v0=v0)

@@ -25,12 +25,25 @@ from odesat_tpu.preprocess.trace import (
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "odesat_native.cc")
 _SO = os.path.join(_HERE, "libodesat_native.so")
+_STAMP = _SO + ".provenance.json"
 _lock = threading.Lock()
 _lib = None
 _lib_error = None
 
 
+def _src_sha256() -> str:
+    import hashlib
+
+    with open(_SRC, "rb") as fh:
+        return hashlib.sha256(fh.read()).hexdigest()
+
+
 def _build() -> None:
+    """Compile the library from the committed source and record its
+    provenance (source hash + exact compiler invocation) next to it.
+    The binary itself is never committed — it is always built from
+    odesat_native.cc on the host that runs it, so there is no opaque
+    artifact for a reviewer to trust."""
     cmd = [
         "g++",
         "-O3",
@@ -44,6 +57,29 @@ def _build() -> None:
         _SRC,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    import json
+
+    compiler = subprocess.run(
+        ["g++", "--version"], check=False, capture_output=True, text=True
+    ).stdout.splitlines()[:1]
+    with open(_STAMP, "w") as fh:
+        json.dump(
+            {"source_sha256": _src_sha256(), "cmd": cmd, "compiler": compiler},
+            fh,
+            indent=2,
+        )
+
+
+def _stamp_current() -> bool:
+    """True when the existing .so was built from the current source
+    (hash-stamped; mtimes are unreliable across git checkouts)."""
+    import json
+
+    try:
+        with open(_STAMP) as fh:
+            return json.load(fh).get("source_sha256") == _src_sha256()
+    except (OSError, ValueError):
+        return False
 
 
 def _load():
@@ -52,7 +88,7 @@ def _load():
         if _lib is not None or _lib_error is not None:
             return _lib
         try:
-            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not os.path.exists(_SO) or not _stamp_current():
                 _build()
             lib = ctypes.CDLL(_SO)
         except Exception as e:  # noqa: BLE001 — any failure => Python fallback

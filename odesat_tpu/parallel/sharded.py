@@ -216,6 +216,70 @@ def make_stoch_shard_chunk_sharded(
     return jax.jit(sharded, donate_argnums=0), state_specs, arg_specs
 
 
+def _collective_consistency_check(fa, zeta, ode, mesh, state, dev) -> None:
+    """One-step cross-check of the in-kernel butterfly all-reduce
+    against the XLA-psum per-step path, run before the first real chunk
+    of a whole-chunk collective run on hardware.
+
+    The butterfly's compiled form (entry barrier, MESH-addressed remote
+    DMA) cannot execute anywhere but a real multi-chip slice, so its
+    first-ever execution is in production; a latent bug would manifest
+    as silent state corruption across shards. Advancing the same state
+    one step through both paths and comparing bounds the blast radius to
+    a loud error on the first chunk instead. One step keeps the
+    comparison numerically tight (chunk-length runs diverge chaotically)
+    and, being odd, exercises the parity-flush tail too."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from odesat_tpu.parallel.dist import fetch
+
+    ref_runner = make_sharded_chunk_runner(
+        fa, zeta, _dc.replace(ode, shard_chunk="off"), 1, mesh
+    )
+    test_runner = make_shard_chunk_sharded(fa, zeta, ode, 1, mesh)
+    # both runners donate their inputs; feed copies so the caller's
+    # state survives for the real chunk
+    out_ref = ref_runner(jax.tree.map(jnp.copy, state), dev)
+    out_test = test_runner(jax.tree.map(jnp.copy, state), dev)
+    for name in ("v", "xs", "xl"):
+        a = np.asarray(fetch(getattr(out_ref, name)))
+        b = np.asarray(fetch(getattr(out_test, name)))
+        if not np.allclose(a, b, rtol=1e-3, atol=1e-5):
+            diff = float(np.max(np.abs(a.astype(np.float64) - b.astype(np.float64))))
+            raise RuntimeError(
+                "shard_chunk collective consistency check FAILED: the "
+                f"in-kernel butterfly all-reduce disagrees with XLA's psum "
+                f"on '{name}' after one step (max abs diff {diff:.3e}). "
+                "The collective is corrupting state on this topology — do "
+                "not trust --shard-chunk results here; rerun with "
+                "--shard-chunk off and report the topology."
+            )
+
+
+def _with_consistency_check(runner, fa, zeta, ode, mesh):
+    """Wrap a whole-chunk collective runner so its FIRST invocation in
+    this process cross-checks the butterfly against XLA's psum (set
+    ODESAT_SKIP_COLLECTIVE_CHECK=1 to skip, e.g. after the topology has
+    been validated once)."""
+    import os
+
+    if os.environ.get("ODESAT_SKIP_COLLECTIVE_CHECK"):
+        return runner
+    checked = False
+
+    def run(state, dev):
+        nonlocal checked
+        if not checked:
+            checked = True
+            _collective_consistency_check(fa, zeta, ode, mesh, state, dev)
+        return runner(state, dev)
+
+    return run
+
+
 def make_sharded_chunk_runner(
     fa: FormulaArrays, zeta: float, ode: ODEConfig, chunk_steps: int, mesh: Mesh
 ):
@@ -312,7 +376,13 @@ def make_sharded_chunk_runner(
                     "test harness instead"
                 )
             if supported and runnable:
-                return make_shard_chunk_sharded(fa, zeta, ode, chunk_steps, mesh)
+                runner = make_shard_chunk_sharded(fa, zeta, ode, chunk_steps, mesh)
+                if n_clause > 1:
+                    # the butterfly's compiled collective first executes
+                    # on real hardware: cross-check it against XLA's
+                    # psum on the first chunk (ADVICE r3)
+                    runner = _with_consistency_check(runner, fa, zeta, ode, mesh)
+                return runner
             # 'auto' + ineligible/off-TPU: the per-step path below
         elif forced_on and not eligible:
             raise ValueError(

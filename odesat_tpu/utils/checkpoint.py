@@ -37,7 +37,9 @@ def mesh_layout_of(mesh) -> tuple:
     return (mesh.shape.get("traj", 1), mesh.shape.get("clause", 1))
 
 
-def validate_mesh_layout(saved, mesh, what: str = "snapshot") -> None:
+def validate_mesh_layout(
+    saved, mesh, what: str = "snapshot", traj_sensitive: bool = True
+) -> None:
     """Reject a resume whose mesh layout differs from the snapshot's.
 
     The clause axis changes the compiled formula layout itself
@@ -45,17 +47,25 @@ def validate_mesh_layout(saved, mesh, what: str = "snapshot") -> None:
     mismatched resume would feed clause memories in the wrong order —
     silently wrong dynamics when the padded shapes happen to coincide.
     ``saved`` is None for snapshots written before layouts were recorded;
-    those fall back to the caller's key-shape checks."""
+    those fall back to the caller's key-shape checks.
+
+    ``traj_sensitive=False`` (pure-ODE resumes): the trajectory axis is
+    plain data parallelism — it never reorders state, so an ODE snapshot
+    may legally reshard onto a different --devices count and only the
+    clause component is enforced. The stoch engine's per-device key
+    layout (and therefore hybrid snapshots) genuinely depends on the
+    traj width, so those keep the full check."""
     if saved is None:
         return
     cur = mesh_layout_of(mesh)
     saved = (int(saved[0]), int(saved[1]))
-    if saved != cur:
+    if (traj_sensitive and saved != cur) or saved[1] != cur[1]:
+        axes = "" if traj_sensitive else " clause axis of the"
         raise ValueError(
             f"cannot resume this {what}: it was taken on a "
             f"(traj={saved[0]}, clause={saved[1]}) mesh but this run uses "
-            f"(traj={cur[0]}, clause={cur[1]}); resume with the same "
-            "--devices/--clause-shards"
+            f"(traj={cur[0]}, clause={cur[1]}); resume with the same"
+            f"{axes} --devices/--clause-shards layout"
         )
 
 
@@ -127,6 +137,16 @@ def load_hybrid_state(path: str, ode_cls, stoch_cls):
             raise ValueError(
                 f"{path} is a single-engine snapshot, not a hybrid one"
             )
+        # same fields-vs-class check load_state does: a cross-version or
+        # corrupted file must fail with this message, not a raw KeyError
+        for key, cls in (("ode_fields", ode_cls), ("stoch_fields", stoch_cls)):
+            fields = [str(f) for f in data[key]]
+            if fields != list(cls._fields):
+                raise ValueError(
+                    f"{path} holds a hybrid snapshot whose {key} {fields} "
+                    f"do not match {cls.__name__}{list(cls._fields)}; "
+                    "resume it with the engine version that wrote it"
+                )
         ode = ode_cls(*[data[f"ode_{f}"] for f in (str(x) for x in data["ode_fields"])])
         stoch = stoch_cls(
             *[data[f"stoch_{f}"] for f in (str(x) for x in data["stoch_fields"])]

@@ -144,10 +144,14 @@ def test_cross_engine_resume_rejected(tmp_path, data_dir):
         load_state(hyb_path, ODEState)
 
 
-def test_mesh_layout_mismatch_rejected(tmp_path, data_dir):
-    """A snapshot recorded on one (traj, clause) layout must not resume
-    on another — the clause axis changes the compiled clause order, so a
-    mismatched resume would be silently wrong, not just misshapen."""
+def test_mesh_layout_clause_mismatch_rejected_traj_resharding_allowed(
+    tmp_path, data_dir
+):
+    """The clause axis changes the compiled clause order, so a
+    clause-mismatched ODE resume must be rejected — but the trajectory
+    axis is pure data parallelism for the ODE state (nothing reorders),
+    so resuming an ODE snapshot on a different --devices count is legal
+    resharding and must succeed."""
     import dataclasses
 
     import pytest
@@ -171,7 +175,51 @@ def test_mesh_layout_mismatch_rejected(tmp_path, data_dir):
     assert os.path.exists(path)
 
     resumed = dataclasses.replace(config, resume_from=path, checkpoint_every_chunks=0)
-    with pytest.raises(ValueError, match="resume with the same"):
-        simulate_batch(normalized, resumed)  # no mesh this time
+    # traj resharding: the (8,1) snapshot resumes unsharded (1,1)
+    res = simulate_batch(normalized, resumed)
+    assert res.steps >= 100
+    # clause mismatch is the dangerous one and still rejects
     with pytest.raises(ValueError, match="resume with the same"):
         simulate_batch(normalized, resumed, mesh=make_mesh(4, 2))
+
+
+def test_stoch_mesh_layout_mismatch_still_fully_rejected(tmp_path, data_dir):
+    """The stoch engine's per-device key layout depends on the traj
+    width, so its snapshots keep the FULL (traj, clause) check."""
+    import pytest
+
+    from odesat_tpu.utils.checkpoint import validate_mesh_layout
+
+    # traj-only difference: rejected with the default full check...
+    with pytest.raises(ValueError, match="resume with the same"):
+        validate_mesh_layout((8, 1), None, what="stoch snapshot")
+    # ...but legal for traj-insensitive (ODE) resumes
+    validate_mesh_layout((8, 1), None, what="ODE snapshot", traj_sensitive=False)
+    # clause difference always rejects
+    with pytest.raises(ValueError, match="resume with the same"):
+        validate_mesh_layout((1, 2), None, what="ODE snapshot", traj_sensitive=False)
+
+
+def test_hybrid_snapshot_field_mismatch_clean_error(tmp_path):
+    """A hybrid snapshot whose per-engine fields don't match the current
+    state classes (cross-version or corrupted file) must fail with the
+    clean resume-with-the-engine-that-wrote-it error, not a KeyError."""
+    import numpy as np
+    import pytest
+
+    from odesat_tpu.models.ode import ODEState
+    from odesat_tpu.models.stoch import StochState
+    from odesat_tpu.utils.checkpoint import load_hybrid_state
+
+    path = str(tmp_path / "hybrid_bad.npz")
+    np.savez(
+        path,
+        ode_fields=np.asarray(["v", "mystery"]),
+        stoch_fields=np.asarray(list(StochState._fields)),
+        ode_v=np.zeros((2, 4)),
+        ode_mystery=np.zeros((2,)),
+        steps=np.asarray(10),
+        **{f"stoch_{f}": np.zeros((2,)) for f in StochState._fields},
+    )
+    with pytest.raises(ValueError, match="engine version that wrote it"):
+        load_hybrid_state(path, ODEState, StochState)

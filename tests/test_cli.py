@@ -483,3 +483,25 @@ def test_cli_shard_chunk_requires_clause_mesh(data_dir, capsys):
         )
     assert e.value.code == 2
     assert "--clause-shards" in capsys.readouterr().err
+
+
+def test_cli_solve_micro_batch_default_and_override(data_dir, capsys):
+    """solve races an 8-trajectory micro-batch by default (single solves
+    are dispatch-latency-bound, so the extra trajectories are ~free and
+    cut steps-to-solution); --solve-batch 1 restores the reference's
+    single-trajectory semantics."""
+    from odesat_tpu.cli import _build_parser
+
+    args = _build_parser().parse_args(
+        ["solve", "-f", os.path.join(data_dir, "small.cnf"), "-n", "10"]
+    )
+    assert args.solve_batch == 8
+
+    rc = main(
+        [
+            "solve", "-f", os.path.join(data_dir, "small.cnf"),
+            "-s", "0.01", "-n", "2000", "--seed", "0", "--solve-batch", "2",
+        ]
+    )
+    assert rc == 0
+    assert "satisfies formula: true" in capsys.readouterr().out

@@ -481,3 +481,51 @@ def test_auto_dispatch_falls_back_off_tpu_without_error():
     fa = compile_for_mesh(normalized, SolverConfig(ode=ode), mesh)
     runner = make_sharded_chunk_runner(fa, 0.001, ode, 8, mesh)
     assert runner is not None  # per-step fallback, no raise
+
+
+def test_collective_consistency_check_passes_and_runs_once(data_dir, monkeypatch):
+    """The first-run butterfly-vs-psum cross-check (ADVICE r3): on a
+    matching topology the two paths agree and the check runs exactly
+    once per runner; ODESAT_SKIP_COLLECTIVE_CHECK bypasses it. Validated
+    at S=1 (interpret) where both paths execute on the CPU mesh — the
+    comparison machinery is identical at S>1."""
+    from odesat_tpu.parallel.mesh import make_mesh
+    from odesat_tpu.parallel import sharded as sh
+    from odesat_tpu.parallel.sharded import (
+        _collective_consistency_check,
+        _with_consistency_check,
+        shard_inputs,
+    )
+    from odesat_tpu.models.ode import formula_device as fdev, init_state as istate
+
+    formula = random_ksat(96, 420, k=3, seed=5, planted=True)
+    _, normalized = normalize_cnf_variables(formula)
+    mesh = make_mesh(8, 1)
+    ode = ODEConfig(step_size=0.01)
+    fa, _plan = compile_stream_sharded(normalized, 1)
+    state = istate(fa, 8, jax.random.PRNGKey(0), ode)
+    dev = fdev(fa)
+    state, dev = shard_inputs(state, dev, mesh)
+
+    # happy path: both integrations agree, state survives (copies donated)
+    _collective_consistency_check(fa, 0.001, ode, mesh, state, dev)
+    assert np.asarray(state.v).shape[0] == 8
+
+    calls = []
+    real = sh._collective_consistency_check
+    monkeypatch.setattr(
+        sh, "_collective_consistency_check",
+        lambda *a, **k: calls.append(1) or real(*a, **k),
+    )
+    runner = _with_consistency_check(
+        lambda s, d: s, fa, 0.001, ode, mesh
+    )
+    runner(state, dev)
+    runner(state, dev)
+    assert len(calls) == 1  # first invocation only
+
+    monkeypatch.setenv("ODESAT_SKIP_COLLECTIVE_CHECK", "1")
+    calls.clear()
+    runner2 = _with_consistency_check(lambda s, d: s, fa, 0.001, ode, mesh)
+    runner2(state, dev)
+    assert not calls
