@@ -95,10 +95,17 @@ def solve_exact(
     steps), resolving the EXACT first-solve step by final-chunk
     bisection.
 
-    ``runner_cache`` maps chunk length -> compiled runner; pass one dict
-    across instances of the same padded shape so the power-of-two
-    bisection runners compile once. Runners are built non-donating: the
-    pre-chunk snapshot must stay alive as the bisection start state.
+    ``runner_cache`` may be shared across instances — entries are keyed
+    by (formula identity, chunk length), because ``make_chunk_runner``
+    bakes the formula CONTENT (the fused kernel's incidence planes) into
+    the runner at build time, not just its shape. A shape-only key would
+    silently solve every later instance against the first one's formula
+    (caught in round 4: 20 "instances" were 20 inits of instance 0).
+    Cross-instance compile reuse still happens one level down — the
+    Pallas chunk kernels are jit-cached on the static shape signature,
+    so a same-shaped instance only pays a retrace, not a recompile.
+    Runners are built non-donating: the pre-chunk snapshot must stay
+    alive as the bisection start state.
     """
     import jax
 
@@ -110,9 +117,14 @@ def solve_exact(
     zeta = ode.resolve_zeta(fa.density)
 
     def runner(n):
-        if n not in runner_cache:
-            runner_cache[n] = make_chunk_runner(fa, zeta, ode, n, donate=False)
-        return runner_cache[n]
+        # id(fa) is stable while fa is alive; the entry pins fa so a
+        # recycled id cannot alias a dead formula's runner
+        key = (id(fa), n)
+        if key not in runner_cache:
+            runner_cache[key] = (
+                make_chunk_runner(fa, zeta, ode, n, donate=False), fa
+            )
+        return runner_cache[key][0]
 
     dev = formula_device(fa, matmul_dtype=ode.matmul_dtype)
     state = init_state(fa, batch, key, ode)

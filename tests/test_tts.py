@@ -99,6 +99,37 @@ def test_runner_cache_shared_across_instances(data_dir):
     assert len(cache) == n_compiled  # second instance reuses every runner
 
 
+def test_runner_cache_keyed_by_formula_not_shape():
+    """Two same-shaped but DIFFERENT formulas sharing one runner_cache
+    must each be solved against their own formula. Regression test: the
+    cache was keyed on chunk length alone, and the Pallas chunk runners
+    bake the formula CONTENT (incidence planes) at build time — every
+    instance after the first was silently solved against instance 0
+    (caught in round 4 when the uf250 TTS 'distribution' turned out to
+    be 20 inits of seed 0). The scan path reads the formula from `dev`
+    per call and cannot reproduce this, so the fused kernel (interpret
+    mode off-TPU) is forced; the second formula is UNSAT, where a stale
+    first-formula runner latches a bogus 'solved'."""
+    from odesat_tpu.cnf.formula import CNFFormula, Literal
+
+    def pair(a, b):
+        return (Literal(0, a), Literal(1, b))
+
+    sat = CNFFormula([pair(False, False)] * 4, 2)  # all (x0 v x1)
+    unsat = CNFFormula(
+        [pair(False, False), pair(False, True), pair(True, False),
+         pair(True, True)], 2,
+    )
+    ode = ODEConfig(step_size=0.05, dv_strategy="fused")
+    cache: dict = {}
+    first = solve_exact(compile_formula(sat), ode, 8, jax.random.PRNGKey(1),
+                        32, 512, runner_cache=cache)
+    assert first.solved
+    second = solve_exact(compile_formula(unsat), ode, 8, jax.random.PRNGKey(1),
+                         32, 512, runner_cache=cache)
+    assert not second.solved  # a stale sat-runner would latch 'solved'
+
+
 def test_pow2_ladder_composes_every_offset():
     for chunk in (1, 2, 3, 48, 64, 100):
         sizes = _pow2_ladder(chunk)

@@ -46,6 +46,23 @@ MXU_BF16 = 197e12  # v5e peak flop/s
 VPU_F32 = 3.9e12  # measured effective VPU rate (round-2 aim100 analysis)
 ODE_VPU_OPS_PER_SLOT = 40  # A1/A2 + taken-branch hoisted per-slot op count
 
+# Adaptive extras beyond the 2 RHS evals, counted from the fused kernel
+# body (ops/fused_pallas.py step_one, adaptive branch): 3 clamped Euler
+# updates at 4 ops/element (mul, add, fmax, fmin) over v(Np)+xs(Mp)+
+# xl(Mp) = 12*(Np+2Mp); the inf-norm error (sub+abs+max tree) ~3*(Np+
+# 2Mp); the 3 freeze selects ~1*(Np+2Mp); dt sqrt/clip is O(1)/traj.
+ADAPTIVE_EXTRA_OPS_PER_ELEM = 16  # x (Np + 2*Mp) per traj per step
+
+# Stoch kernel VPU ops, counted from ops/stoch_pallas.py body:
+# per K*Mp plane slot: bias add + two sign mults ~= 3; per clause (Mp):
+# sat max tree (K-1~=2) + xl weight update (cmp, sub/add, max/min,
+# select, cmask mult ~= 7) + unsat_f/xu/xl-select/allsat ~= 5 -> ~13;
+# per variable (Np): counter-PRNG finalizer ~12 + flip compare/selects
+# ~6 -> ~18.
+STOCH_VPU_OPS_PER_SLOT = 3  # x K*Mp
+STOCH_VPU_OPS_PER_CLAUSE = 13  # x Mp
+STOCH_VPU_OPS_PER_VAR = 18  # x Np
+
 
 def fused_bounds(fa, batch, traj_block):
     """(mxu_rate, serial_rate) in traj·steps/s for the resident fused
@@ -65,6 +82,50 @@ def stream_bounds(plane_rows, mp, traj_block):
     flops_per_traj = 4.0 * plane_rows * 128
     t_mxu = flops_per_traj * traj_block / MXU_BF16
     t_vpu = ODE_VPU_OPS_PER_SLOT * traj_block * mp / VPU_F32
+    return traj_block / t_mxu, traj_block / (t_mxu + t_vpu)
+
+
+def adaptive_fused_bounds(fa, traj_block):
+    """(mxu_rate, serial_rate) in traj·steps/s for the fused kernel's
+    adaptive integrator: 2 RHS evals per step (trial + midpoint) plus
+    the step-doubling bookkeeping (ADAPTIVE_EXTRA_OPS_PER_ELEM). The
+    pure-MXU bound only doubles the matmul work; the serial-sum bound
+    adds both RHS VPU passes and the update/error chain."""
+    Np, Mp, K = fa.n_vars_padded, fa.n_clauses_padded, fa.max_width
+    t_mxu = 4.0 * Np * K * Mp * traj_block / MXU_BF16
+    t_rhs_vpu = ODE_VPU_OPS_PER_SLOT * traj_block * Mp / VPU_F32
+    t_extra = ADAPTIVE_EXTRA_OPS_PER_ELEM * (Np + 2 * Mp) * traj_block / VPU_F32
+    return (
+        traj_block / (2 * t_mxu),
+        traj_block / (2 * (t_mxu + t_rhs_vpu) + t_extra),
+    )
+
+
+def stoch_vpu_time(np_, mp, k, traj_block):
+    ops = (
+        STOCH_VPU_OPS_PER_SLOT * k * mp
+        + STOCH_VPU_OPS_PER_CLAUSE * mp
+        + STOCH_VPU_OPS_PER_VAR * np_
+    )
+    return ops * traj_block / VPU_F32
+
+
+def stoch_fused_bounds(fa, traj_block):
+    """Stoch resident kernel: 3 matmuls per step over the (Np, K*Mp)
+    concatenated planes (forward clause eval + total-weight and
+    unsat-weight scatters) -> 6 flops per plane cell, vs the ODE's 4."""
+    Np, Mp, K = fa.n_vars_padded, fa.n_clauses_padded, fa.max_width
+    t_mxu = 6.0 * Np * K * Mp * traj_block / MXU_BF16
+    t_vpu = stoch_vpu_time(Np, Mp, K, traj_block)
+    return traj_block / t_mxu, traj_block / (t_mxu + t_vpu)
+
+
+def stoch_stream_bounds(fa, plane_rows, traj_block):
+    """Stoch streaming kernel: same 3-matmul step over the ACTUAL
+    windowed plane rows the compile produced (windows < Np cut flops)."""
+    Np, Mp, K = fa.n_vars_padded, fa.n_clauses_padded, fa.max_width
+    t_mxu = 6.0 * plane_rows * 128 * traj_block / MXU_BF16
+    t_vpu = stoch_vpu_time(Np, Mp, K, traj_block)
     return traj_block / t_mxu, traj_block / (t_mxu + t_vpu)
 
 
@@ -94,6 +155,13 @@ def main():
     row("3b hard.cnf fused", r, mxu, serial,
         "VPU (Np=128: 40 ops/slot vs 512 flops/slot)")
 
+    # 3: hard.cnf ADAPTIVE fused B=8192 (suite config hard_adaptive)
+    ode_ad = ODEConfig(matmul_dtype="bfloat16")  # adaptive, tol 1e-3
+    r = measure(fa, ode_ad, 8192, 2000)
+    mxu, serial = adaptive_fused_bounds(fa, 512)
+    row("3 hard.cnf adaptive fused", r, mxu, serial,
+        "VPU: 2 RHS passes + step-doubling update/error chain")
+
     # 5: uf250 fused B=16384
     formula = random_ksat(250, 1065, k=3, seed=11, planted=True)
     _, norm = normalize_cnf_variables(formula)
@@ -119,6 +187,37 @@ def main():
     mxu, serial = stream_bounds(R, fa.n_clauses_padded, 1024)
     row("4 n=1k stream", r, mxu, serial,
         "MXU (windows ~ Np on random instances)")
+
+    # 4b: stoch streaming kernel on the same preprocessed n=1k instance
+    from odesat_tpu.models.stoch import init_stoch_state
+    from odesat_tpu.ops.stoch_pallas import (
+        _build_stoch_planes,
+        make_fused_stoch_chunk,
+        make_stream_stoch_chunk,
+    )
+
+    sfn = jax.jit(make_stream_stoch_chunk(fa, 200, matmul_dtype="bfloat16"))
+    sstate = init_stoch_state(fa, 8192, jax.random.PRNGKey(0))
+    srate, _ = measure_throughput(
+        lambda st, dev=None: sfn(st), sstate, None, 200, 8192, iters=3
+    )
+    sG, _, _ = _build_stoch_planes(fa, np.float32)
+    mxu, serial = stoch_stream_bounds(fa, sG.shape[0], 512)
+    row("4b stoch n=1k stream", srate, mxu, serial,
+        "MXU (3 matmuls/step: eval + 2 weight scatters)")
+
+    # 4c: stoch resident fused kernel on aim100 (hard.cnf)
+    formula = parse_dimacs_file(os.path.join(DATA, "hard.cnf"))
+    _, norm = normalize_cnf_variables(formula)
+    fa_h = compile_formula(norm)
+    sfn2 = make_fused_stoch_chunk(fa_h, 2000, matmul_dtype="bfloat16")
+    sstate2 = init_stoch_state(fa_h, 16384, jax.random.PRNGKey(0))
+    srate2, _ = measure_throughput(
+        lambda st, dev=None: sfn2(st), sstate2, None, 2000, 16384, iters=3
+    )
+    mxu, serial = stoch_fused_bounds(fa_h, 512)
+    row("4c stoch aim100 fused", srate2, mxu, serial,
+        "VPU at Np=128 (PRNG + weight chain vs 768 flops/slot)")
 
     # 6: locality-256 n=4096 stream B=10240
     formula = random_local_ksat(4096, 17203, k=3, locality=256, seed=3)

@@ -84,7 +84,9 @@ def main():
         verified = bool(
             res.solved
             and evaluate_cnf(
-                {i + 1: bool(a) for i, a in enumerate(res.assignment)}, norm
+                # assignment[i] is normalized variable i (0-based dense
+                # indices, cnf/normalize.py) — NOT 1-based DIMACS names
+                {i: bool(a) for i, a in enumerate(res.assignment)}, norm
             )
         )
         bd = tts_breakdown(res.steps, res.chunks, B, rate, dispatch_s, res.wall_s)
