@@ -181,21 +181,15 @@ def make_fused_chunk(
             )
 
         def rhs_from_vals(vals_all, v, xs, xl):
-            # running min / second-min; the first m2 assignment skips the
-            # min-with-INF (min(INF, x) = x for the finite vals here)
             m1 = m2 = None
             for k in range(K):
                 valk = vals_all[:, k * Mp : (k + 1) * Mp]
                 if m1 is None:
                     m1 = valk
-                elif m2 is None:
-                    m2 = jnp.maximum(m1, valk)
-                    m1 = jnp.minimum(m1, valk)
+                    m2 = jnp.full(valk.shape, _INF, dtype=v.dtype)
                 else:
                     m2 = jnp.minimum(m2, jnp.maximum(m1, valk))
                     m1 = jnp.minimum(m1, valk)
-            if m2 is None:  # K == 1 never reaches the kernels (unit-clause
-                m2 = jnp.full(m1.shape, _INF, dtype=v.dtype)  # gather path)
 
             c = 0.5 * m1
             # hoisted per-clause coefficients; the -1/2 cancels the
@@ -204,28 +198,21 @@ def make_fused_chunk(
             b = -0.5 * ((1.0 + zeta_c * xl) * (1.0 - xs))
             # per-clause products hoisted out of the K loop: the original
             # contrib a*minx + b*valk*gate costs 6 VPU ops per literal
-            # slot; A1 = a*m1, A2 = a*m2 brought it to 4, and hoisting the
-            # taken-branch value once per clause brings it to 2 (compare +
-            # select). f32-exact identical: at a min slot valk == m1
-            # bitwise (jnp.minimum returns one of its inputs), so
-            # A2 + b*valk == P; at a gated slot valk == c, so
-            # b*valk == bc.
+            # slot; with A1 = a*m1, A2 = a*m2 the paper-mode form
+            # where(is_min, A2 + b*valk, A1) is 4 (f32-exact identical —
+            # the untaken branch's + b*valk*0 was exact too)
             A1 = a * m1
             A2 = a * m2
-            if paper:
-                P = A2 + b * m1
-            else:
-                bc = b * c
             contribs = []
             for k in range(K):
                 valk = vals_all[:, k * Mp : (k + 1) * Mp]
                 is_min = valk <= m1
                 if paper:
-                    contribs.append(jnp.where(is_min, P, A1))
+                    contribs.append(jnp.where(is_min, A2 + b * valk, A1))
                 else:
+                    gate = (valk == c).astype(v.dtype)
                     contribs.append(
-                        jnp.where(is_min, A2, A1)
-                        + jnp.where(valk == c, bc, 0.0)
+                        jnp.where(is_min, A2, A1) + b * (valk * gate)
                     )
             # one big transposed scatter: (Bb, K*Mp) x (Np, K*Mp)^T
             dv = jax.lax.dot_general(

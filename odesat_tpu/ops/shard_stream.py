@@ -485,38 +485,28 @@ def _build_kernel(mode, span_meta, zeta_c, paper, mm_dtype, mm_precision, xl_cap
                 ) + bias_ref[k : k + 1, c0 : c0 + SPAN]
                 if m1 is None:
                     m1 = valk
-                elif m2 is None:
-                    m2 = jnp.maximum(m1, valk)
-                    m1 = jnp.minimum(m1, valk)
+                    m2 = jnp.full(valk.shape, _INF, dtype=jnp.float32)
                 else:
                     m2 = jnp.minimum(m2, jnp.maximum(m1, valk))
                     m1 = jnp.minimum(m1, valk)
                 vals_ref[k] = valk
-            if m2 is None:  # kb == 1: unit clauses never reach the kernel
-                m2 = jnp.full(m1.shape, _INF, dtype=jnp.float32)
 
             c = 0.5 * m1
             # hoisted per-clause coefficients; the -1/2 cancels the
-            # sign-baked planes' -q_i (see ops/stream_pallas.py header);
-            # A1/A2 + taken-branch hoisting = 2 VPU ops per literal slot
+            # sign-baked planes' -q_i (see ops/stream_pallas.py header)
             a = -0.5 * (xl * xs)
             b = -0.5 * ((1.0 + zeta_c * xl) * (1.0 - xs))
             A1 = a * m1
             A2 = a * m2
-            if paper:
-                P = A2 + b * m1
-            else:
-                bc = b * c
             dvw = jnp.zeros((Bb, w), dtype=jnp.float32)
             for k in range(kb):
                 valk = vals_ref[k]
                 is_min = valk <= m1
                 if paper:
-                    contrib = jnp.where(is_min, P, A1)
+                    contrib = jnp.where(is_min, A2 + b * valk, A1)
                 else:
-                    contrib = jnp.where(is_min, A2, A1) + jnp.where(
-                        valk == c, bc, 0.0
-                    )
+                    gate = (valk == c).astype(jnp.float32)
+                    contrib = jnp.where(is_min, A2, A1) + b * (valk * gate)
                 dvw = dvw + jax.lax.dot_general(
                     contrib.astype(mm_dtype),
                     gbuf[slot, k * w : (k + 1) * w],

@@ -6,10 +6,9 @@ formula sizes):
 
 * the pure-MXU bound: 4 flops per plane cell per RHS evaluation at the
   v5e bf16 peak (197 Tflop/s);
-* the VPU share: ~40 f32 elementwise ops per clause slot per RHS for
-  the ODE kernels (the round-2 op-count analysis, A1/A2 + taken-branch
-  hoisted form; was 45 before the round-3 per-clause hoist) at the
-  measured ~3.9 Tops/s v5e VPU rate;
+* the VPU share: ~45 f32 elementwise ops per clause slot per RHS for
+  the ODE kernels (the round-2 op-count analysis, A1/A2 hoisted form)
+  at the measured ~3.9 Tops/s v5e VPU rate;
 * the serial-sum bound (MXU + VPU, no overlap) — the round-2 aim100
   analysis showed Mosaic largely serializes the engines at small Np,
   while larger tiles overlap partially, so measured rates land between
@@ -44,7 +43,7 @@ DATA = os.path.join(HERE, "tests", "data")
 
 MXU_BF16 = 197e12  # v5e peak flop/s
 VPU_F32 = 3.9e12  # measured effective VPU rate (round-2 aim100 analysis)
-ODE_VPU_OPS_PER_SLOT = 40  # A1/A2 + taken-branch hoisted per-slot op count
+ODE_VPU_OPS_PER_SLOT = 45  # A1/A2-hoisted per-clause-slot elementwise ops
 
 # Adaptive extras beyond the 2 RHS evals, counted from the fused kernel
 # body (ops/fused_pallas.py step_one, adaptive branch): 3 clamped Euler
@@ -153,7 +152,7 @@ def main():
     r = measure(fa, ode, 16384, 2000)
     mxu, serial = fused_bounds(fa, 16384, 512)
     row("3b hard.cnf fused", r, mxu, serial,
-        "VPU (Np=128: 40 ops/slot vs 512 flops/slot)")
+        "VPU (Np=128: 45 ops/slot vs 512 flops/slot)")
 
     # 3: hard.cnf ADAPTIVE fused B=8192 (suite config hard_adaptive)
     ode_ad = ODEConfig(matmul_dtype="bfloat16")  # adaptive, tol 1e-3
