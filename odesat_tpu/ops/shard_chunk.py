@@ -73,14 +73,23 @@ _INF = float("inf")
 EXT = SPAN  # lane width of the flag extension riding with dv
 
 
-# 'auto' dispatch regime gate, keyed on the per-shard plane sweep the
-# kernel streams from HBM every step. Measured at S=1 on v5e
-# (benchmarks/results.json round 3): 25.5 MiB planes (random n=1k) ->
-# whole-chunk WINS 1.13x over the per-step launch path; 192 MiB planes
-# (local n=10240) -> whole-chunk LOSES 19%. The crossover sits between
-# those brackets; 64 MiB splits them and matches the n=4096 midpoint the
-# measurement runbook (tools/measure_all.py) re-brackets on hardware.
-SHARD_CHUNK_AUTO_PLANE_BYTES = 64 * 2**20
+# 'auto' dispatch regime gates, keyed on the per-shard plane sweep the
+# kernel streams from HBM every step. Brackets measured at S=1 on v5e
+# (tools/bracket_shard_chunk.py, round 4, post-hoist-revert kernels):
+#
+#   planes (bf16) | ODE chunk/step | stoch chunk/step
+#   43.8 MiB n=1k |    1.10x WIN   |   0.96x lose
+#   192 MiB n=10k |    1.11x WIN   |   1.20x WIN
+#
+# ODE: the whole-chunk kernel wins at every measured plane size, so
+# 'auto' always takes it when supported. (A round-3 measurement showed
+# it losing 19% at 192 MiB, but that bracket was taken with the
+# taken-branch hoist in the kernels — reverted in round 4 as a measured
+# regression — and does not reproduce on the restored kernels.)
+# Stoch: the whole-chunk kernel only wins once the plane sweep is large
+# enough that per-step launch overhead dominates; the crossover sits
+# between the two brackets — 96 MiB is their geometric midpoint.
+STOCH_SHARD_CHUNK_AUTO_MIN_PLANE_BYTES = 96 * 2**20
 
 
 def resolve_shard_chunk(ode, plan: StreamShardPlan | None, itemsize: int = 4,
@@ -90,12 +99,9 @@ def resolve_shard_chunk(ode, plan: StreamShardPlan | None, itemsize: int = 4,
 
     'on' forces the whole-chunk kernel (callers still validate
     eligibility and raise loudly); 'off' forces the per-step launch
-    path; 'auto' picks the whole-chunk kernel only in its
-    measured-winning regime (small per-shard plane sweeps — see
-    SHARD_CHUNK_AUTO_PLANE_BYTES). The stoch engine's whole-chunk
-    variant has no hardware numbers yet (round-3 outage), so its 'auto'
-    stays on the measured per-step path until the runbook brackets it.
-    """
+    path; 'auto' picks each engine's measured winner for the plan's
+    per-shard plane size (brackets above: always the whole-chunk kernel
+    for the ODE, large-plane regimes only for stoch)."""
     value = ode.shard_chunk
     if isinstance(value, bool):  # legacy boolean configs
         value = "on" if value else "off"
@@ -105,10 +111,12 @@ def resolve_shard_chunk(ode, plan: StreamShardPlan | None, itemsize: int = 4,
         return False
     if value != "auto":
         raise ValueError(f"shard_chunk must be 'auto', 'on' or 'off', got {value!r}")
-    if plan is None or engine != "ode":
+    if plan is None:
         return False
-    plane_bytes = int(plan.planes.shape[1]) * SPAN * itemsize
-    return plane_bytes <= SHARD_CHUNK_AUTO_PLANE_BYTES
+    if engine == "stoch":
+        plane_bytes = int(plan.planes.shape[1]) * SPAN * itemsize
+        return plane_bytes >= STOCH_SHARD_CHUNK_AUTO_MIN_PLANE_BYTES
+    return True
 
 
 def shard_chunk_supported(fa, plan: StreamShardPlan, ode, itemsize: int = 4) -> bool:

@@ -66,10 +66,12 @@ class ODEConfig:
     # clause-mesh whole-chunk kernel with the dv all-reduce done INSIDE
     # the kernel via Pallas remote DMA over ICI (ops/shard_chunk.py) —
     # needs a power-of-two clause axis.
-    #   "auto" - pick the whole-chunk kernel in its measured-winning
-    #            regime (small per-shard plane sweeps; the per-step
-    #            launch path wins on huge plans — measured 1.13x for /
-    #            19% against at S=1, ops/shard_chunk.resolve_shard_chunk)
+    #   "auto" - pick each engine's measured winner for the plan's
+    #            per-shard plane size: always the whole-chunk kernel for
+    #            the ODE (wins 1.10-1.11x at S=1 across the measured
+    #            bracket), large-plane regimes only for stoch
+    #            (ops/shard_chunk.resolve_shard_chunk, brackets from
+    #            tools/bracket_shard_chunk.py)
     #   "on"   - force the whole-chunk kernel (errors if ineligible)
     #   "off"  - force the per-step launch path
     # Legacy bools are accepted (True -> "on", False -> "off"). The

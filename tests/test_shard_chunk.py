@@ -432,25 +432,34 @@ def test_stoch_shard_chunk_production_path_gated_off_tpu():
 
 
 def test_resolve_shard_chunk_auto_picks_measured_winner():
-    """The 'auto' dispatch must choose the whole-chunk kernel only in
-    its measured-winning regime: small per-shard plane sweeps win
-    (random n=1k, 25.5 MiB -> 1.13x), huge ones lose (local n=10240,
-    192 MiB -> -19%). Pins the 64 MiB crossover choice."""
+    """The 'auto' dispatch must choose each engine's measured winner
+    (tools/bracket_shard_chunk.py, round 4): the ODE whole-chunk kernel
+    wins at every measured plane size (1.10x at 43.8 MiB, 1.11x at
+    192 MiB), the stoch one only in the large-plane regime (0.96x at
+    43.8 MiB, 1.20x at 192 MiB). Pins the stoch 96 MiB crossover."""
     from types import SimpleNamespace
 
     from odesat_tpu.ops.shard_chunk import (
-        SHARD_CHUNK_AUTO_PLANE_BYTES,
+        STOCH_SHARD_CHUNK_AUTO_MIN_PLANE_BYTES,
         resolve_shard_chunk,
     )
 
     ode_auto = ODEConfig(step_size=0.01)  # shard_chunk defaults to "auto"
     assert ode_auto.shard_chunk == "auto"
-    small = SimpleNamespace(planes=np.zeros((1, 104448, 128), np.float32))
+    small = SimpleNamespace(planes=np.zeros((1, 179200, 128), np.float32))
     huge = SimpleNamespace(planes=np.zeros((1, 787968, 128), np.float32))
+    # ODE: whole-chunk wins both measured brackets -> auto always on
     assert resolve_shard_chunk(ode_auto, small, itemsize=2) is True
-    assert resolve_shard_chunk(ode_auto, huge, itemsize=2) is False
-    # the measured bracket pins the constant's position
-    assert 104448 * 128 * 2 <= SHARD_CHUNK_AUTO_PLANE_BYTES < 787968 * 128 * 2
+    assert resolve_shard_chunk(ode_auto, huge, itemsize=2) is True
+    assert resolve_shard_chunk(ode_auto, None, itemsize=2) is False
+
+    # stoch: per-step wins small plans, whole-chunk wins huge ones;
+    # the measured bracket pins the crossover's position
+    assert resolve_shard_chunk(ode_auto, small, itemsize=2, engine="stoch") is False
+    assert resolve_shard_chunk(ode_auto, huge, itemsize=2, engine="stoch") is True
+    assert (179200 * 128 * 2
+            < STOCH_SHARD_CHUNK_AUTO_MIN_PLANE_BYTES
+            <= 787968 * 128 * 2)
 
     # forced modes override the regime; legacy bools still map
     ode_on = ODEConfig(step_size=0.01, shard_chunk="on")
@@ -459,10 +468,6 @@ def test_resolve_shard_chunk_auto_picks_measured_winner():
     assert resolve_shard_chunk(ode_off, small, itemsize=2) is False
     assert resolve_shard_chunk(ODEConfig(shard_chunk=True), huge) is True
     assert resolve_shard_chunk(ODEConfig(shard_chunk=False), small) is False
-
-    # the stoch whole-chunk variant has no hardware numbers yet: its
-    # 'auto' stays on the per-step path until the runbook brackets it
-    assert resolve_shard_chunk(ode_auto, small, itemsize=2, engine="stoch") is False
     assert resolve_shard_chunk(ode_on, small, itemsize=2, engine="stoch") is True
 
 
