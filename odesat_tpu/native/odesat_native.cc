@@ -33,6 +33,9 @@
 #include <cstdlib>
 #include <cstring>
 #include <ctime>
+#include <condition_variable>
+#include <functional>
+#include <mutex>
 #include <map>
 #include <set>
 #include <thread>
@@ -147,8 +150,32 @@ inline int32_t lit_var(lit_t l) { return l >> 1; }
 inline bool lit_neg(lit_t l) { return l & 1; }
 inline lit_t lit_compl(lit_t l) { return l ^ 1; }
 
+// Occurrence lists: sorted unique vectors with a minimal set-like
+// interface. Iteration order is identical to the std::set<Clause> this
+// replaces (ascending ClauseLess), so every downstream consumer —
+// resolvent generation order, trace serialization, blocked-clause
+// scans — behaves byte-identically; the win is contiguous clause
+// headers instead of tree-node chasing in the 6.6M-resolvent candidate
+// scan (lists are ~10-20 entries, so the O(n) insert/erase moves are
+// noise next to the 47k scans that iterate them).
+struct SortedClauses {
+  std::vector<Clause> v;
+  void insert(const Clause& c) {
+    auto it = std::lower_bound(v.begin(), v.end(), c, ClauseLess{});
+    if (it == v.end() || *it != c) v.insert(it, c);
+  }
+  void erase(const Clause& c) {
+    auto it = std::lower_bound(v.begin(), v.end(), c, ClauseLess{});
+    if (it != v.end() && *it == c) v.erase(it);
+  }
+  size_t size() const { return v.size(); }
+  bool empty() const { return v.empty(); }
+  auto begin() const { return v.begin(); }
+  auto end() const { return v.end(); }
+};
+
 struct Occ {
-  ClauseSet pos, neg;
+  SortedClauses pos, neg;
 };
 
 struct Pre {
@@ -207,8 +234,11 @@ struct ScanScratch {
   uint32_t stamp = 0;
   // counting-sort occurrence lists: cnt/beg/cur per encoded literal,
   // items = flat per-literal buckets; size_cnt for the by-size order
-  std::vector<uint32_t> cnt, beg, cur, items, size_cnt;
+  std::vector<uint32_t> cnt, beg, cur, items, size_cnt, size_beg;
+  std::vector<uint64_t> mask;  // 64-bit literal bloom per resolvent
   std::vector<lit_t> touched;  // cnt entries used this scan
+  std::vector<lit_t> nbuf;     // var-stripped neg clauses (flat)
+  std::vector<uint32_t> noffs;
   Clause own;                  // pos clause minus var
 };
 
@@ -226,42 +256,33 @@ void release_scan_scratch() {
   s = ScanScratch{};
 }
 
-// Linear sorted merge of `own` (var already stripped) with `other`
-// (skipping var), deduped, appended to `out`. Returns false (and
-// restores `out`) on a tautological resolvent. Encoded literals order
-// as (var, neg), so a complementary pair is the adjacent values l/l^1 —
-// detected while merging without any binary search.
-bool merge_resolvent(const Clause& own, const Clause& other, int32_t var,
-                     std::vector<lit_t>& out) {
+// Linear sorted merge of two var-stripped sorted ranges (candidate_
+// ratio pre-strips the eliminated variable from both sides), deduped,
+// appended to `out`. Returns false (and restores `out`) on a
+// tautological resolvent. Encoded literals order as (var, neg), so a
+// complementary pair is the adjacent values l/l^1 — detected while
+// merging without any binary search.
+bool merge_clean(const Clause& own, const lit_t* b0, const lit_t* b1,
+                 std::vector<lit_t>& out) {
   const size_t start = out.size();
-  size_t i = 0, j = 0;
-  const size_t ni = own.size(), nj = other.size();
+  size_t i = 0;
+  const size_t ni = own.size();
+  const lit_t* j = b0;
   for (;;) {
-    while (j < nj && lit_var(other[j]) == var) ++j;
-    if (i == ni && j == nj) break;
-    if (j == nj) { out.insert(out.end(), own.begin() + i, own.end()); break; }
-    if (i == ni) {
-      for (; j < nj; ++j)
-        if (lit_var(other[j]) != var) out.push_back(other[j]);
-      break;
-    }
-    lit_t a = own[i], b = other[j];
+    if (i == ni && j == b1) break;
+    if (j == b1) { out.insert(out.end(), own.begin() + i, own.end()); break; }
+    if (i == ni) { out.insert(out.end(), j, b1); break; }
+    lit_t a = own[i], b = *j;
     if (a == b) {
-      // the shared literal's complement may hide in EITHER side: other's
-      // `a` against own's `a^1`, or other's `a^1` against own's `a`.
-      // Sorted-unique sequences put the complement adjacent (values
-      // differ by exactly 1), so two neighbor probes replace the old
-      // binary search.
       lit_t comp = a ^ 1;
       bool taut = (a & 1)
-          ? ((i > 0 && own[i - 1] == comp) || (j > 0 && other[j - 1] == comp))
+          ? ((i > 0 && own[i - 1] == comp) || (j > b0 && *(j - 1) == comp))
           : ((i + 1 < ni && own[i + 1] == comp) ||
-             (j + 1 < nj && other[j + 1] == comp));
+             (j + 1 < b1 && *(j + 1) == comp));
       if (taut) { out.resize(start); return false; }
       out.push_back(a); ++i; ++j;
-    }
-    else if (a < b) {
-      if ((a ^ 1) == b) { out.resize(start); return false; }  // taut
+    } else if (a < b) {
+      if ((a ^ 1) == b) { out.resize(start); return false; }
       out.push_back(a); ++i;
     } else {
       if ((b ^ 1) == a) { out.resize(start); return false; }
@@ -279,7 +300,7 @@ bool any_resolvent(const Pre& st, const Clause& clause, int32_t var) {
   if (it == st.index.end()) return false;
   bool clause_has_pos =
       std::binary_search(clause.begin(), clause.end(), (lit_t)(var << 1));
-  const ClauseSet& opposing = clause_has_pos ? it->second.neg : it->second.pos;
+  const SortedClauses& opposing = clause_has_pos ? it->second.neg : it->second.pos;
   bool own_nonempty = false;
   for (lit_t l : clause)
     own_nonempty = own_nonempty || (lit_var(l) != var);
@@ -433,11 +454,95 @@ void eliminate_variable(Pre& st, int32_t var, const ClauseSet& resolvents,
   for (const Clause& m : modified) st.trace_clause(m);
 }
 
+
+// Persistent worker pool for the greedy pick's candidate scan. The
+// scan runs once per elimination round (1339 rounds at n=10k) over a
+// small candidate set (~35), so per-round std::thread spawning cost
+// more than the ~1 ms of scan work it parallelized — measured net
+// NEGATIVE on short rounds, and it also reallocated every worker's
+// thread_local ScanScratch each round. Workers here live for the
+// process, wait on a generation counter, and pull candidate indices
+// off one shared atomic; per-worker scratch persists across rounds.
+class ScanPool {
+ public:
+  static ScanPool& get() {
+    static ScanPool p;
+    return p;
+  }
+
+  // Run fn(i) for i in [0, n) on the pool + the calling thread.
+  // Blocks until every pool thread has finished the generation.
+  void run(size_t n, size_t workers, const std::function<void(size_t)>& fn) {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      // new threads capture the CURRENT generation so they cannot join
+      // (and double-count `done_` for) a round already in flight
+      while (threads_.size() < workers)
+        threads_.emplace_back([this, g = gen_] { loop(g); });
+      job_ = &fn;
+      n_items_ = n;
+      next_.store(0, std::memory_order_relaxed);
+      done_ = 0;
+      ++gen_;
+    }
+    cv_.notify_all();
+    for (size_t i; (i = next_.fetch_add(1)) < n;) fn(i);
+    std::unique_lock<std::mutex> lk(mu_);
+    cv_done_.wait(lk, [&] { return done_ == threads_.size(); });
+    job_ = nullptr;
+  }
+
+  ~ScanPool() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& t : threads_) t.join();
+  }
+
+ private:
+  void loop(uint64_t seen) {
+    for (;;) {
+      const std::function<void(size_t)>* job;
+      size_t n;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_.wait(lk, [&] { return stop_ || gen_ != seen; });
+        if (stop_) return;
+        seen = gen_;
+        job = job_;
+        n = n_items_;
+      }
+      if (job)
+        for (size_t i; (i = next_.fetch_add(1)) < n;) (*job)(i);
+      {
+        std::lock_guard<std::mutex> lk(mu_);
+        ++done_;
+      }
+      cv_done_.notify_one();
+    }
+  }
+
+  std::mutex mu_;
+  std::condition_variable cv_, cv_done_;
+  std::vector<std::thread> threads_;
+  const std::function<void(size_t)>* job_ = nullptr;
+  std::atomic<size_t> next_{0};
+  size_t n_items_ = 0;
+  size_t done_ = 0;
+  uint64_t gen_ = 0;
+  bool stop_ = false;
+};
+
 // greedy pick: variable minimizing the post-elimination ratio; accepted
 // only while ratio <= target; candidates scanned in sorted order with
 // strict-less tie-breaking (deterministic; matches the Python pipeline)
 double g_t_resolve = 0;  // ODESAT_NATIVE_PROFILE (serial scan only)
 double g_t_gen = 0, g_t_dedup = 0, g_t_sub = 0;  // candidate_ratio stages
+double g_t_sub_occ = 0, g_t_sub_order = 0, g_t_sub_probe = 0;
+long g_n_all = 0, g_n_uniq = 0, g_n_probes = 0, g_n_includes = 0;
+long g_survivors = 0, g_occwalk = 0;
 
 struct StageTimer {
   // stage accounting for the profiled serial scan; compiled to nothing
@@ -475,12 +580,29 @@ double candidate_ratio(const Pre& st, int32_t var, std::vector<Clause>* res_out)
   //    src/cnf.rs:474-476)
   {
   StageTimer _t(&g_t_gen);
+  // pre-strip the eliminated variable from every neg clause ONCE (each
+  // is merged |pos| times; stripping in the merge paid the skip branch
+  // per element per pair). Adjacent-complement tautology probes are
+  // unaffected: l and l^1 are consecutive values, so removing var's
+  // literal can never sit between a complement pair.
+  std::vector<lit_t>& NB = sc.nbuf;
+  std::vector<uint32_t>& NO = sc.noffs;
+  NB.clear();
+  NO.assign(1, 0);
+  for (const Clause& other : it->second.neg) {
+    for (lit_t l : other)
+      if (lit_var(l) != var) NB.push_back(l);
+    NO.push_back((uint32_t)NB.size());
+  }
+  const size_t nn = NO.size() - 1;
   for (const Clause& c : it->second.pos) {
     sc.own.clear();
     for (lit_t l : c)
       if (lit_var(l) != var) sc.own.push_back(l);
-    for (const Clause& other : it->second.neg) {
-      if (merge_resolvent(sc.own, other, var, L) && L.size() > offs.back())
+    for (size_t q = 0; q < nn; ++q) {
+      const lit_t* b0 = NB.data() + NO[q];
+      const lit_t* b1 = NB.data() + NO[q + 1];
+      if (merge_clean(sc.own, b0, b1, L) && L.size() > offs.back())
         offs.push_back((uint32_t)L.size());
       else
         L.resize(offs.back());  // taut (already restored) or empty
@@ -549,69 +671,131 @@ double candidate_ratio(const Pre& st, int32_t var, std::vector<Clause>* res_out)
   //    replaced paid Sum_c Sum_l |occ(l)| over heavily-shared literals
   //    (11.3s of the n=10k preprocess).
   size_t survivors = n;
+  if (StageTimer::on()) { g_n_all += (long)n_all; g_n_uniq += (long)n; }
+  // 3. forward subsumption, rarest-literal probing: iterate potential
+  //    subsumers ascending by size and probe only the rarest literal's
+  //    occurrence list (a superset of s contains every literal of s, so
+  //    it appears in all of s's lists). Dead subsumers are skipped:
+  //    strict-subset subsumption is transitive (s' < s < c), so their
+  //    victims fall to an earlier, still-alive ancestor -- the final set
+  //    is identical to the all-pairs sweep and independent of the
+  //    processing order. Measured on n=10k random 3-SAT, only ~381 of
+  //    6.6M generated resolvents are ever subsumed, so the sweep is
+  //    structured to prove "nothing to do" as cheaply as possible:
+  //    * all-one-size scans exit immediately (a strict subset needs a
+  //      strictly smaller subsumer);
+  //    * occurrence lists store by-size RANKS, so a subsumer of size z
+  //      probes only the list suffix holding sizes > z (the plain-index
+  //      formulation walked 95M entries to size-filter 73M of them);
+  //    * a 64-bit literal bloom mask per resolvent (bits l&63, OR'd
+  //      during the counting pass) rejects nearly every survivor pair
+  //      before the std::includes touches the literal data.
+  auto size_of = [&](uint32_t p) { return offs[idx[p] + 1] - offs[idx[p]]; };
+  uint32_t max_sz = 0, min_sz = 0;
   if (n >= 2) {
-    StageTimer _t(&g_t_sub);
-    // per-literal occurrence lists built by counting sort into one flat
-    // buffer (cnt/beg/cur reused across scans, cleared via `touched`)
-    auto size_of = [&](uint32_t p) { return offs[idx[p] + 1] - offs[idx[p]]; };
-    lit_t max_lit = 0;
-    uint32_t max_sz = 0;
+    min_sz = UINT32_MAX;
     for (uint32_t p = 0; p < n; ++p) {
-      max_lit = std::max(max_lit, L[offs[idx[p] + 1] - 1]);
-      max_sz = std::max(max_sz, size_of(p));
+      uint32_t z = size_of(p);
+      max_sz = std::max(max_sz, z);
+      min_sz = std::min(min_sz, z);
     }
+  }
+  if (n >= 2 && min_sz != max_sz) {
+    StageTimer _t(&g_t_sub);
+    auto _tso = std::chrono::steady_clock::now();
+    // per-literal occurrence lists built by counting sort into one flat
+    // buffer (cnt/beg/cur reused across scans, cleared via `touched`);
+    // the counting pass also builds the bloom masks
+    lit_t max_lit = 0;
+    for (uint32_t p = 0; p < n; ++p)
+      max_lit = std::max(max_lit, L[offs[idx[p] + 1] - 1]);
     if ((size_t)max_lit >= sc.cnt.size()) {
       sc.cnt.resize(max_lit + 1, 0);
       sc.beg.resize(max_lit + 1);
       sc.cur.resize(max_lit + 1);
     }
+    if (sc.mask.size() < n) sc.mask.resize(n);
     uint32_t total = 0;
-    for (uint32_t p = 0; p < n; ++p)
+    for (uint32_t p = 0; p < n; ++p) {
+      uint64_t mk = 0;
       for (uint32_t o = offs[idx[p]]; o < offs[idx[p] + 1]; ++o) {
-        if (sc.cnt[L[o]]++ == 0) sc.touched.push_back(L[o]);
+        lit_t l = L[o];
+        if (sc.cnt[l]++ == 0) sc.touched.push_back(l);
         ++total;
+        mk |= 1ull << (l & 63);
       }
+      sc.mask[p] = mk;
+    }
     uint32_t running = 0;
     for (lit_t l : sc.touched) {
       sc.beg[l] = running;
       sc.cur[l] = running;
       running += sc.cnt[l];
     }
-    sc.items.resize(total);
-    for (uint32_t p = 0; p < n; ++p)
-      for (uint32_t o = offs[idx[p]]; o < offs[idx[p] + 1]; ++o)
-        sc.items[sc.cur[L[o]]++] = p;
 
-    // ascending-size processing order via counting sort (stable)
+    if (StageTimer::on()) {
+      auto _now = std::chrono::steady_clock::now();
+      g_t_sub_occ += std::chrono::duration<double>(_now - _tso).count();
+      _tso = _now;
+    }
+    // ascending-size processing order via counting sort (stable);
+    // size_beg snapshots each size's first rank before the fill
+    // destroys the prefix array (suffix boundaries below)
     std::vector<uint32_t>& order = sc.order;
     order.resize(n);
     sc.size_cnt.assign(max_sz + 2, 0);
     for (uint32_t p = 0; p < n; ++p) ++sc.size_cnt[size_of(p) + 1];
-    for (uint32_t s = 1; s <= max_sz + 1; ++s) sc.size_cnt[s] += sc.size_cnt[s - 1];
+    for (uint32_t z = 1; z <= max_sz + 1; ++z) sc.size_cnt[z] += sc.size_cnt[z - 1];
+    sc.size_beg.assign(sc.size_cnt.begin(), sc.size_cnt.end());
     for (uint32_t p = 0; p < n; ++p) order[sc.size_cnt[size_of(p)]++] = p;
 
+    // occurrence lists hold RANKS, filled in rank order so every list
+    // ascends by size -- a subsumer probes only its strict-suffix
+    sc.items.resize(total);
+    for (uint32_t r = 0; r < n; ++r) {
+      uint32_t p = order[r];
+      for (uint32_t o = offs[idx[p]]; o < offs[idx[p] + 1]; ++o)
+        sc.items[sc.cur[L[o]]++] = r;
+    }
+
+    if (StageTimer::on()) {
+      auto _now = std::chrono::steady_clock::now();
+      g_t_sub_order += std::chrono::duration<double>(_now - _tso).count();
+      _tso = _now;
+    }
     sc.alive.assign(n, 1);
-    for (uint32_t p : order) {
+    for (uint32_t r = 0; r < n; ++r) {
+      uint32_t p = order[r];
       if (!sc.alive[p]) continue;
       const lit_t* s0 = base + offs[idx[p]];
       const lit_t* s1 = base + offs[idx[p] + 1];
+      const uint32_t sz = (uint32_t)(s1 - s0);
+      if (sz == max_sz) continue;  // nothing strictly larger to subsume
       lit_t rare = *s0;
       for (const lit_t* l = s0; l < s1; ++l)
         if (sc.cnt[*l] < sc.cnt[rare]) rare = *l;
       if (sc.cnt[rare] == 1) continue;  // the only occurrence is p itself
-      const uint32_t sz = (uint32_t)(s1 - s0);
       const uint32_t* q0 = sc.items.data() + sc.beg[rare];
       const uint32_t* q1 = q0 + sc.cnt[rare];
-      for (const uint32_t* qp = q0; qp < q1; ++qp) {
-        uint32_t q = *qp;
-        if (q == p || !sc.alive[q]) continue;
-        if (size_of(q) <= sz) continue;  // strict subset needs fewer lits
+      // first rank whose size exceeds sz (list ascends by rank)
+      const uint32_t* qp = std::lower_bound(q0, q1, sc.size_beg[sz + 1]);
+      if (StageTimer::on()) g_occwalk += (long)(q1 - qp);
+      const uint64_t mp = sc.mask[p];
+      for (; qp < q1; ++qp) {
+        uint32_t q = order[*qp];
+        if (!sc.alive[q]) continue;
+        if (mp & ~sc.mask[q]) continue;  // some literal of p not in q
+        if (StageTimer::on()) ++g_n_includes;
         if (std::includes(base + offs[idx[q]], base + offs[idx[q] + 1], s0, s1))
           sc.alive[q] = 0;
       }
     }
+    if (StageTimer::on())
+      g_t_sub_probe += std::chrono::duration<double>(
+          std::chrono::steady_clock::now() - _tso).count();
     survivors = 0;
     for (uint32_t p = 0; p < n; ++p) survivors += sc.alive[p] ? 1 : 0;
+    if (StageTimer::on()) g_survivors += (long)survivors;
     if (res_out) {
       res_out->clear();
       res_out->reserve(survivors);
@@ -622,7 +806,9 @@ double candidate_ratio(const Pre& st, int32_t var, std::vector<Clause>* res_out)
     for (lit_t l : sc.touched) sc.cnt[l] = 0;
     sc.touched.clear();
   } else if (res_out) {
+    // single resolvent or all one size: every unique resolvent survives
     res_out->clear();
+    res_out->reserve(n);
     for (uint32_t k : idx)
       res_out->emplace_back(base + offs[k], base + offs[k + 1]);
   }
@@ -660,17 +846,13 @@ bool min_ratio_resolvant(const Pre& st, const std::set<int32_t>& candidates,
     // reduce below is a sequential argmin over the ascending-var order,
     // so the winner (strict-less tie-break = lowest var) is
     // byte-identical to the serial scan — parity with the Python twin
-    // stays exact (tests/test_native.py).
+    // stays exact (tests/test_native.py). Workers come from the
+    // persistent ScanPool (per-round std::thread spawning measured net
+    // negative on ~1 ms rounds).
     std::vector<double> ratios(n, 1e300);
-    std::atomic<size_t> next{0};
-    auto worker = [&] {
-      for (size_t i; (i = next.fetch_add(1)) < n;)
-        ratios[i] = candidate_ratio(st, vars[i], nullptr);
-    };
-    std::vector<std::thread> pool;
-    for (size_t t = 0; t + 1 < nt; ++t) pool.emplace_back(worker);
-    worker();
-    for (auto& t : pool) t.join();
+    ScanPool::get().run(n, nt - 1, [&](size_t i) {
+      ratios[i] = candidate_ratio(st, vars[i], nullptr);
+    });
     size_t bi = n;
     for (size_t i = 0; i < n; ++i)
       if (ratios[i] < smallest) { smallest = ratios[i]; bi = i; }
@@ -680,10 +862,12 @@ bool min_ratio_resolvant(const Pre& st, const std::set<int32_t>& candidates,
     // cheaper than keeping every candidate's vector alive)
     candidate_ratio(st, best, &best_res);
   } else {
+    // count-only scans; only the winner's resolvents are materialized
+    // (the res_out emission per candidate was ~6.6M Clause allocations
+    // across the n=10k run)
     for (int32_t var : vars) {
       auto ta = now();
-      std::vector<Clause> res;
-      double ratio = candidate_ratio(st, var, &res);
+      double ratio = candidate_ratio(st, var, nullptr);
       if (prof) {
         auto tc = now();
         g_t_resolve += std::chrono::duration<double>(tc - ta).count();
@@ -691,10 +875,10 @@ bool min_ratio_resolvant(const Pre& st, const std::set<int32_t>& candidates,
       if (ratio < smallest) {
         smallest = ratio;
         best = var;
-        best_res = std::move(res);
       }
     }
     if (best < 0 || smallest > (double)target) return false;
+    candidate_ratio(st, best, &best_res);
   }
   *out_var = best;
   out_resolvents->clear();
@@ -718,6 +902,8 @@ int odesat_preprocess(const lit_t* lits, const int64_t* offsets,
   };
   auto t0 = now();
   g_t_resolve = g_t_gen = g_t_dedup = g_t_sub = 0;  // per-call stage split
+  g_t_sub_occ = g_t_sub_order = g_t_sub_probe = 0;
+  g_n_all = g_n_uniq = g_n_includes = g_survivors = g_occwalk = 0;
   Pre st;
   st.varnum = varnum;
   for (int64_t m = 0; m < n_clauses; ++m) {
@@ -768,9 +954,15 @@ int odesat_preprocess(const lit_t* lits, const int64_t* offsets,
                  "(resolve+subsume %.2fs = gen %.2f + dedup %.2f + "
                  "subsume %.2f; profiling forces the serial scan), "
                  "elim %.2fs, "
-                 "bce-on-resolvents %.2fs (%ld rounds, %ld candidate scans)\n",
+                 "bce-on-resolvents %.2fs (%ld rounds, %ld candidate scans)\n"
+                 "[odesat_native] subsume split: occ %.3f order %.3f probe %.3f"
+                 " | n_all %ld uniq %ld includes %ld\n"
+                 "[odesat_native] stats: survivors %ld occwalk %ld\n",
                  t_pick, g_t_resolve, g_t_gen, g_t_dedup, g_t_sub, t_elim,
-                 t_bce, n_rounds, n_cands);
+                 t_bce, n_rounds, n_cands,
+                 g_t_sub_occ, g_t_sub_order, g_t_sub_probe,
+                 g_n_all, g_n_uniq, g_n_includes,
+                 g_survivors, g_occwalk);
   auto t2 = now();
   release_scan_scratch();
   subsume_clauses_indexed(st.clauses);
