@@ -94,6 +94,7 @@ def main():
     # exact steps-to-solution + compute/dispatch/wall split, the same
     # odesat_tpu.utils.tts implementation tools/uf250_tts.py uses) ------
     from odesat_tpu.utils.tts import (
+        evict_formula,
         measure_dispatch_latency,
         solve_exact,
         tts_breakdown,
@@ -249,10 +250,12 @@ def main():
     for seed in range(n_seeds):
         inst = uf_instance(250, seed=seed)
         _, norm_i = normalize_cnf_variables(inst)
+        fa_i = compile_formula(norm_i)
         res = solve_exact(
-            compile_formula(norm_i), ode_tts, b_tts, jax.random.PRNGKey(seed),
+            fa_i, ode_tts, b_tts, jax.random.PRNGKey(seed),
             64, 20000, runner_cache=cache5,
         )
+        evict_formula(cache5, fa_i)  # fresh formula per seed: don't pin them all
         rows5.append(
             tts_breakdown(res.steps, res.chunks, b_tts, rate_tts, dispatch_s,
                           res.wall_s)

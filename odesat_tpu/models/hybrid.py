@@ -134,17 +134,13 @@ def hybrid_search(
     else:
         ode_state = init_state(fa, config.batch_size, k_ode, ode)
         stoch_state = init_stoch_state(fa, config.batch_size, k_stoch)
-    from odesat_tpu.ops.shard_chunk import resolve_shard_chunk
+    from odesat_tpu.ops.shard_chunk import resolve_stoch_shard_chunk
 
-    stoch_shard_chunk = bool(
-        mesh is not None
-        and mesh.shape.get("clause", 1) > 1
-        and resolve_shard_chunk(
-            ode,
-            fa.shard_plan,
-            2 if ode.matmul_dtype == "bfloat16" else 4,
-            engine="stoch",
-        )
+    stoch_shard_chunk = mesh is not None and resolve_stoch_shard_chunk(
+        ode,
+        fa,
+        mesh.shape.get("clause", 1),
+        2 if ode.matmul_dtype == "bfloat16" else 4,
     )
 
     def _make_runners(n):

@@ -300,13 +300,13 @@ def search(
                 f"{n_traj} trajectory devices"
             )
 
-        from odesat_tpu.ops.shard_chunk import resolve_shard_chunk
+        from odesat_tpu.ops.shard_chunk import resolve_stoch_shard_chunk
 
-        use_shard_chunk = n_clause > 1 and resolve_shard_chunk(
+        use_shard_chunk = resolve_stoch_shard_chunk(
             config.ode,
-            fa.shard_plan,
+            fa,
+            n_clause,
             2 if config.ode.matmul_dtype == "bfloat16" else 4,
-            engine="stoch",
         )
 
         def make_runner(n):

@@ -473,6 +473,11 @@ class ScanPool {
   // Run fn(i) for i in [0, n) on the pool + the calling thread.
   // Blocks until every pool thread has finished the generation.
   void run(size_t n, size_t workers, const std::function<void(size_t)>& fn) {
+    // Serialize whole rounds: odesat_preprocess is reachable from
+    // multiple Python threads (ctypes releases the GIL for the foreign
+    // call) and job_/gen_/next_/done_ are process-wide — without this,
+    // one call's workers could run against another call's dangling fn.
+    std::lock_guard<std::mutex> entry(entry_mu_);
     {
       std::lock_guard<std::mutex> lk(mu_);
       // new threads capture the CURRENT generation so they cannot join
@@ -524,6 +529,7 @@ class ScanPool {
     }
   }
 
+  std::mutex entry_mu_;  // serializes whole run() rounds across callers
   std::mutex mu_;
   std::condition_variable cv_, cv_done_;
   std::vector<std::thread> threads_;

@@ -119,6 +119,30 @@ def resolve_shard_chunk(ode, plan: StreamShardPlan | None, itemsize: int = 4,
     return True
 
 
+def resolve_stoch_shard_chunk(ode, fa, n_clause: int, itemsize: int) -> bool:
+    """Concrete stoch-kernel choice for a clause mesh, mirroring the ODE
+    dispatch in parallel/sharded.py: 'auto' silently falls back to the
+    per-step path when the whole-chunk kernel is unsupported for this
+    plan or the backend is not a real TPU (interpret mode cannot
+    simulate remote DMA under a two-axis mesh); 'on' keeps the choice so
+    make_sharded_stoch_runner raises loudly with the real reason."""
+    import jax
+
+    from odesat_tpu.ops.stoch_pallas import stoch_shard_chunk_supported
+
+    if n_clause <= 1:
+        return False
+    if not resolve_shard_chunk(ode, fa.shard_plan, itemsize, engine="stoch"):
+        return False
+    forced_on = ode.shard_chunk in ("on", True)
+    if forced_on:
+        return True
+    return (
+        stoch_shard_chunk_supported(fa, itemsize)
+        and jax.default_backend() == "tpu"
+    )
+
+
 def shard_chunk_supported(fa, plan: StreamShardPlan, ode, itemsize: int = 4) -> bool:
     from odesat_tpu.ops.shard_stream import stream_shard_supported
 

@@ -81,6 +81,20 @@ def _pow2_ladder(chunk: int) -> list[int]:
     return sizes
 
 
+def evict_formula(runner_cache: dict, fa) -> None:
+    """Drop every runner ``solve_exact`` cached for ``fa``.
+
+    A shared cache pins each formula (the value holds ``fa`` so a
+    recycled ``id`` can never alias a dead formula's runner), so a long
+    multi-instance sweep that never evicts grows memory without bound —
+    each retired instance keeps its device incidence planes alive. Call
+    this when moving to the next instance; same-shaped instances still
+    reuse the compiled Pallas kernels one level down (shape-keyed jit
+    caches), so eviction costs a retrace, not a recompile."""
+    for key in [k for k in runner_cache if k[0] == id(fa)]:
+        del runner_cache[key]
+
+
 def solve_exact(
     fa,
     ode,
@@ -106,6 +120,11 @@ def solve_exact(
     so a same-shaped instance only pays a retrace, not a recompile.
     Runners are built non-donating: the pre-chunk snapshot must stay
     alive as the bisection start state.
+
+    Entries pin their formula and are never dropped automatically —
+    multi-instance sweeps sharing one cache should ``evict_formula``
+    each instance when done with it, or memory grows with every
+    instance ever solved.
     """
     import jax
 

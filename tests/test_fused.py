@@ -113,3 +113,33 @@ def test_fused_rejects_shared_dt_via_runner():
     ode = ODEConfig(dt_mode="shared", dv_strategy="fused")
     with pytest.raises(ValueError, match="shared"):
         make_chunk_runner(fa, 0.001, ode, 4)
+
+
+@pytest.mark.parametrize("rigidity", ["paper", "reference"])
+def test_fused_exact_zero_clause_values(rigidity):
+    """v pinned at exactly +-1 makes satisfied literals' clause values
+    exactly 0.0 — the only state where the reference-mode gate
+    (valk == c, src/system.rs:73) actually fires, and the edge the
+    A1/A2 contribution forms (where(is_min, A2 + b*valk, A1) and the
+    gate-multiply b*(valk*gate); ops/fused_pallas.py) must keep
+    f32-exact vs the scan path."""
+    import jax.numpy as jnp
+
+    fa = _fixture(5)
+    ode = ODEConfig(step_size=0.02, rigidity=rigidity)
+    state0 = init_state(fa, 8, jax.random.PRNGKey(5), ode)
+    v = np.asarray(state0.v).copy()
+    # pin every other variable to an exact +-1 so some clauses hold a
+    # zero-value literal while others stay unsatisfied
+    v[:, 0::2] = np.where(v[:, 0::2] >= 0, 1.0, -1.0)
+    state0 = state0._replace(v=jnp.asarray(v))
+
+    steps = 8
+    ref = _scan(fa, ode, state0, steps, 0.05)
+    fused = make_fused_chunk(fa, 0.05, ode, steps, interpret=True)
+    out = fused(state0)
+
+    np.testing.assert_allclose(np.asarray(out.v), np.asarray(ref.v), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.xs), np.asarray(ref.xs), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.xl), np.asarray(ref.xl), rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(out.done), np.asarray(ref.done))

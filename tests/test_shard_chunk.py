@@ -488,6 +488,41 @@ def test_auto_dispatch_falls_back_off_tpu_without_error():
     assert runner is not None  # per-step fallback, no raise
 
 
+def test_stoch_auto_dispatch_falls_back_off_tpu_without_error(monkeypatch):
+    """The stoch 'auto' dispatch (ADVICE r4, high): once a plan's plane
+    sweep enters the whole-chunk regime, models/stoch.py must still AND
+    the regime gate with stoch_shard_chunk_supported() and the TPU
+    backend before handing shard_chunk=True to the runner — otherwise a
+    default-config clause-sharded stoch run on a CPU mesh (or an
+    unsupported plan) crashes in make_sharded_stoch_runner instead of
+    falling back to the per-step path. Only an explicit 'on' may raise."""
+    from odesat_tpu.ops import shard_chunk as sc
+    from odesat_tpu.parallel.mesh import make_mesh
+    from odesat_tpu.parallel.sharded import compile_for_mesh, make_sharded_stoch_runner
+    from odesat_tpu.utils.config import SolverConfig
+
+    formula = random_ksat(96, 420, k=3, seed=5, planted=True)
+    _, normalized = normalize_cnf_variables(formula)
+    mesh = make_mesh(4, 2)
+    ode = ODEConfig(step_size=0.01)  # shard_chunk='auto'
+    fa = compile_for_mesh(normalized, SolverConfig(ode=ode), mesh)
+
+    # force the plane sweep into the whole-chunk regime so only the
+    # supported/backend gates stand between 'auto' and the crash
+    monkeypatch.setattr(sc, "STOCH_SHARD_CHUNK_AUTO_MIN_PLANE_BYTES", 0)
+    assert sc.resolve_shard_chunk(ode, fa.shard_plan, 4, engine="stoch")
+    use = sc.resolve_stoch_shard_chunk(ode, fa, mesh.shape["clause"], 4)
+    assert use is False  # off-TPU: quiet fallback, not a raise
+    runner = make_sharded_stoch_runner(fa, 8, mesh, shard_chunk=use)
+    assert runner is not None
+
+    # an explicit 'on' still reaches the loud hardware gate
+    ode_on = ODEConfig(step_size=0.01, shard_chunk="on")
+    assert sc.resolve_stoch_shard_chunk(ode_on, fa, mesh.shape["clause"], 4)
+    with pytest.raises(ValueError, match="real TPU"):
+        make_sharded_stoch_runner(fa, 8, mesh, shard_chunk=True)
+
+
 def test_collective_consistency_check_passes_and_runs_once(data_dir, monkeypatch):
     """The first-run butterfly-vs-psum cross-check (ADVICE r3): on a
     matching topology the two paths agree and the check runs exactly

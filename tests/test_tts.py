@@ -130,6 +130,27 @@ def test_runner_cache_keyed_by_formula_not_shape():
     assert not second.solved  # a stale sat-runner would latch 'solved'
 
 
+def test_evict_formula_drops_only_that_instance(data_dir):
+    """A shared cache pins every formula it has seen (ADVICE r4):
+    evict_formula must drop exactly the retired instance's runners so a
+    long multi-instance sweep doesn't grow memory without bound."""
+    from odesat_tpu.utils.tts import evict_formula
+
+    fa1, _ = _fa(data_dir)
+    fa2, _ = _fa(data_dir, "small.cnf")
+    ode = ODEConfig(step_size=0.05)
+    cache: dict = {}
+    solve_exact(fa1, ode, 8, jax.random.PRNGKey(3), 64, 1024, runner_cache=cache)
+    solve_exact(fa2, ode, 8, jax.random.PRNGKey(3), 64, 1024, runner_cache=cache)
+    assert {k[0] for k in cache} == {id(fa1), id(fa2)}
+    n2 = sum(1 for k in cache if k[0] == id(fa2))
+    evict_formula(cache, fa1)
+    assert {k[0] for k in cache} == {id(fa2)}
+    assert sum(1 for k in cache if k[0] == id(fa2)) == n2
+    evict_formula(cache, fa2)
+    assert not cache
+
+
 def test_pow2_ladder_composes_every_offset():
     for chunk in (1, 2, 3, 48, 64, 100):
         sizes = _pow2_ladder(chunk)

@@ -42,6 +42,7 @@ from odesat_tpu.utils.config import ODEConfig
 from odesat_tpu.utils.generate import uf_instance
 from odesat_tpu.utils.timing import measure_throughput
 from odesat_tpu.utils.tts import (
+    evict_formula,
     measure_dispatch_latency,
     solve_exact,
     tts_breakdown,
@@ -91,6 +92,10 @@ def main():
         )
         bd = tts_breakdown(res.steps, res.chunks, B, rate, dispatch_s, res.wall_s)
         rows.append((seed, res.solved, verified, bd))
+        # each instance is a fresh formula object: drop its runners so a
+        # long sweep doesn't pin every instance's device planes (the
+        # shape-keyed kernel caches keep the compiles)
+        evict_formula(cache, fa_i)
 
     print(f"\n{'seed':>4} {'solved':>6} {'verif':>5} {'steps':>6} {'wall s':>7} "
           f"{'compute s':>9} {'dispatch s':>10} {'residual s':>10}")
