@@ -197,32 +197,34 @@ def parse_dimacs_native(text: str) -> CNFFormula:
 
 
 def _decode_trace(blob: bytes) -> SimplificationTrace:
+    """The blob is an all-u32 little-endian stream (odesat_native.cc
+    Pre::trace_u32): per step `kind, var, n_clauses, {len, lits...}*`.
+    Decoded via one np.frombuffer + a list walk with interned Literals —
+    the per-field byte walk this replaces was ~0.36 s of the n=10k
+    preprocess."""
+    w = np.frombuffer(blob, dtype="<u4").tolist()
     trace = SimplificationTrace()
+    lut: dict = {}
+
+    def lit(e):
+        lo = lut.get(e)
+        if lo is None:
+            lo = lut[e] = Literal(e >> 1, bool(e & 1))
+        return lo
+
     pos = 0
-
-    def u8():
-        nonlocal pos
-        v = blob[pos]
-        pos += 1
-        return v
-
-    def u32():
-        nonlocal pos
-        v = int.from_bytes(blob[pos : pos + 4], "little")
-        pos += 4
-        return v
-
-    def clause():
-        n = u32()
-        return frozenset(Literal(u32_val >> 1, bool(u32_val & 1)) for u32_val in (u32() for _ in range(n)))
-
-    while pos < len(blob):
-        kind = u8()
-        var = u32()
-        n_clauses = u32()
-        clauses = frozenset(clause() for _ in range(n_clauses))
+    end = len(w)
+    while pos < end:
+        kind, var, n_clauses = w[pos], w[pos + 1], w[pos + 2]
+        pos += 3
+        clauses = []
+        for _ in range(n_clauses):
+            n = w[pos]
+            pos += 1
+            clauses.append(frozenset(map(lit, w[pos : pos + n])))
+            pos += n
         if kind == 0:
-            trace.add(VariableElimination(var, clauses))
+            trace.add(VariableElimination(var, frozenset(clauses)))
         else:
             (only,) = clauses
             trace.add(BlockedClauseElimination(var, only))

@@ -186,7 +186,9 @@ struct Pre {
   // trace: serialized as it is produced
   std::vector<uint8_t> trace;
 
-  void trace_u8(uint8_t x) { trace.push_back(x); }
+  // All-u32 little-endian stream (kind included) so the Python side
+  // can decode the whole blob with one np.frombuffer instead of a
+  // per-field byte walk (which was ~0.36 s of the n=10k preprocess).
   void trace_u32(uint32_t x) {
     for (int i = 0; i < 4; i++) trace.push_back((x >> (8 * i)) & 0xff);
   }
@@ -335,35 +337,6 @@ int32_t is_blocked(const Pre& st, const Clause& clause) {
 // scanning those lists replaces the all-pairs O(M^2) sweep (50s at
 // M=24k) with Sum_c Sum_{l in c} |occ(l)| short includes() tests.
 // Produces exactly the same final set (strict-subset subsumers only).
-void subsume_clauses_indexed(ClauseSet& clauses) {
-  // empty-clause special case: it subsumes every other clause but sits
-  // in no occurrence list, so the scan below would never visit it
-  if (clauses.count(Clause{})) {
-    clauses.clear();
-    clauses.insert(Clause{});
-    return;
-  }
-  std::map<lit_t, std::vector<const Clause*>> occ;
-  for (const Clause& c : clauses)
-    for (lit_t l : c) occ[l].push_back(&c);
-  std::vector<Clause> to_remove;
-  for (const Clause& c : clauses) {
-    bool subsumed = false;
-    for (lit_t l : c) {
-      for (const Clause* other : occ[l]) {
-        if (other->size() >= c.size()) continue;
-        if (std::includes(c.begin(), c.end(), other->begin(), other->end())) {
-          subsumed = true;
-          break;
-        }
-      }
-      if (subsumed) break;
-    }
-    if (subsumed) to_remove.push_back(c);
-  }
-  for (const Clause& c : to_remove) clauses.erase(c);
-}
-
 void subsume_clauses(ClauseSet& clauses) {
   std::vector<Clause> to_remove;
   for (const Clause& c : clauses) {
@@ -400,7 +373,7 @@ bool eliminate_if_blocked(Pre& st, const Clause& clause,
     if (changed) changed->insert(lit_var(l));
   index_remove(st, clause);
   st.clauses.erase(clause);
-  st.trace_u8(1);  // BCE
+  st.trace_u32(1);  // BCE
   st.trace_u32((uint32_t)var);
   st.trace_u32(1);
   st.trace_clause(clause);
@@ -438,7 +411,7 @@ void eliminate_variable(Pre& st, int32_t var, const ClauseSet& resolvents,
   st.varnum -= 1;
 
   // trace: VE(var, modified positive clauses)
-  st.trace_u8(0);
+  st.trace_u32(0);
   st.trace_u32((uint32_t)var);
   // build modified pos clauses (dedup via set for deterministic order)
   ClauseSet modified;
@@ -549,6 +522,7 @@ double g_t_gen = 0, g_t_dedup = 0, g_t_sub = 0;  // candidate_ratio stages
 double g_t_sub_occ = 0, g_t_sub_order = 0, g_t_sub_probe = 0;
 long g_n_all = 0, g_n_uniq = 0, g_n_probes = 0, g_n_includes = 0;
 long g_survivors = 0, g_occwalk = 0;
+long g_n_prune0 = 0, g_n_prune2 = 0;  // can't-win prune hits per stage
 
 struct StageTimer {
   // stage accounting for the profiled serial scan; compiled to nothing
@@ -569,12 +543,190 @@ struct StageTimer {
   }
 };
 
+// Forward rarest-literal subsumption sweep over a flat clause buffer:
+// `idx` names |idx| sorted-literal clause spans of `offs` into `base`.
+// Marks sc.alive[p] = 0 for every clause strictly subsumed by another
+// in the set and returns the survivor count. Iterate potential
+// subsumers ascending by size and probe only the rarest literal's
+// occurrence list (a superset of s contains every literal of s, so it
+// appears in all of s's lists). Dead subsumers are skipped:
+// strict-subset subsumption is transitive (s' < s < c), so their
+// victims fall to an earlier, still-alive ancestor — the final set is
+// identical to the all-pairs sweep and independent of the processing
+// order. Structured to prove "nothing to do" cheaply:
+//  * occurrence lists store by-size RANKS, so a subsumer of size z
+//    probes only the list suffix holding sizes > z;
+//  * a 64-bit literal bloom mask per clause (bits l&63) rejects nearly
+//    every survivor pair before std::includes touches the literals.
+// Callers skip the call when n < 2 or all sizes are equal (a strict
+// subset needs a strictly smaller subsumer).
+size_t forward_subsume_flat(const lit_t* base, const std::vector<uint32_t>& offs,
+                            const std::vector<uint32_t>& idx, uint32_t max_sz,
+                            ScanScratch& sc) {
+  const size_t n = idx.size();
+  auto size_of = [&](uint32_t p) { return offs[idx[p] + 1] - offs[idx[p]]; };
+  auto _tso = std::chrono::steady_clock::now();
+  // per-literal occurrence lists built by counting sort into one flat
+  // buffer (cnt/beg/cur reused across scans, cleared via `touched`);
+  // the counting pass also builds the bloom masks
+  lit_t max_lit = 0;
+  for (uint32_t p = 0; p < n; ++p)
+    max_lit = std::max(max_lit, base[offs[idx[p] + 1] - 1]);
+  if ((size_t)max_lit >= sc.cnt.size()) {
+    sc.cnt.resize(max_lit + 1, 0);
+    sc.beg.resize(max_lit + 1);
+    sc.cur.resize(max_lit + 1);
+  }
+  if (sc.mask.size() < n) sc.mask.resize(n);
+  uint32_t total = 0;
+  for (uint32_t p = 0; p < n; ++p) {
+    uint64_t mk = 0;
+    for (uint32_t o = offs[idx[p]]; o < offs[idx[p] + 1]; ++o) {
+      lit_t l = base[o];
+      if (sc.cnt[l]++ == 0) sc.touched.push_back(l);
+      ++total;
+      mk |= 1ull << (l & 63);
+    }
+    sc.mask[p] = mk;
+  }
+  uint32_t running = 0;
+  for (lit_t l : sc.touched) {
+    sc.beg[l] = running;
+    sc.cur[l] = running;
+    running += sc.cnt[l];
+  }
+
+  if (StageTimer::on()) {
+    auto _now = std::chrono::steady_clock::now();
+    g_t_sub_occ += std::chrono::duration<double>(_now - _tso).count();
+    _tso = _now;
+  }
+  // ascending-size processing order via counting sort (stable);
+  // size_beg snapshots each size's first rank before the fill
+  // destroys the prefix array (suffix boundaries below)
+  std::vector<uint32_t>& order = sc.order;
+  order.resize(n);
+  sc.size_cnt.assign(max_sz + 2, 0);
+  for (uint32_t p = 0; p < n; ++p) ++sc.size_cnt[size_of(p) + 1];
+  for (uint32_t z = 1; z <= max_sz + 1; ++z) sc.size_cnt[z] += sc.size_cnt[z - 1];
+  sc.size_beg.assign(sc.size_cnt.begin(), sc.size_cnt.end());
+  for (uint32_t p = 0; p < n; ++p) order[sc.size_cnt[size_of(p)]++] = p;
+
+  // occurrence lists hold RANKS, filled in rank order so every list
+  // ascends by size -- a subsumer probes only its strict-suffix
+  sc.items.resize(total);
+  for (uint32_t r = 0; r < n; ++r) {
+    uint32_t p = order[r];
+    for (uint32_t o = offs[idx[p]]; o < offs[idx[p] + 1]; ++o)
+      sc.items[sc.cur[base[o]]++] = r;
+  }
+
+  if (StageTimer::on()) {
+    auto _now = std::chrono::steady_clock::now();
+    g_t_sub_order += std::chrono::duration<double>(_now - _tso).count();
+    _tso = _now;
+  }
+  sc.alive.assign(n, 1);
+  for (uint32_t r = 0; r < n; ++r) {
+    uint32_t p = order[r];
+    if (!sc.alive[p]) continue;
+    const lit_t* s0 = base + offs[idx[p]];
+    const lit_t* s1 = base + offs[idx[p] + 1];
+    const uint32_t sz = (uint32_t)(s1 - s0);
+    if (sz == max_sz) continue;  // nothing strictly larger to subsume
+    lit_t rare = *s0;
+    for (const lit_t* l = s0; l < s1; ++l)
+      if (sc.cnt[*l] < sc.cnt[rare]) rare = *l;
+    if (sc.cnt[rare] == 1) continue;  // the only occurrence is p itself
+    const uint32_t* q0 = sc.items.data() + sc.beg[rare];
+    const uint32_t* q1 = q0 + sc.cnt[rare];
+    // first rank whose size exceeds sz (list ascends by rank)
+    const uint32_t* qp = std::lower_bound(q0, q1, sc.size_beg[sz + 1]);
+    if (StageTimer::on()) g_occwalk += (long)(q1 - qp);
+    const uint64_t mp = sc.mask[p];
+    for (; qp < q1; ++qp) {
+      uint32_t q = order[*qp];
+      if (!sc.alive[q]) continue;
+      if (mp & ~sc.mask[q]) continue;  // some literal of p not in q
+      if (StageTimer::on()) ++g_n_includes;
+      if (std::includes(base + offs[idx[q]], base + offs[idx[q] + 1], s0, s1))
+        sc.alive[q] = 0;
+    }
+  }
+  if (StageTimer::on())
+    g_t_sub_probe += std::chrono::duration<double>(
+        std::chrono::steady_clock::now() - _tso).count();
+  size_t survivors = 0;
+  for (uint32_t p = 0; p < n; ++p) survivors += sc.alive[p] ? 1 : 0;
+  for (lit_t l : sc.touched) sc.cnt[l] = 0;
+  sc.touched.clear();
+  return survivors;
+}
+
+// Final whole-formula subsumption pass (reference: src/cnf.rs:808 → 521)
+// via the same forward sweep — the victim-side walk this replaces paid
+// Sum_c Sum_l |occ(l)| over heavily-shared literals.
+void subsume_clauses_indexed(ClauseSet& clauses) {
+  // empty-clause special case: it subsumes every other clause but sits
+  // in no occurrence list, so the sweep below would never visit it
+  if (clauses.count(Clause{})) {
+    clauses.clear();
+    clauses.insert(Clause{});
+    return;
+  }
+  const size_t n = clauses.size();
+  if (n < 2) return;
+  ScanScratch& sc = scan_scratch();
+  std::vector<lit_t> L;
+  std::vector<uint32_t> offs(1, 0);
+  std::vector<const Clause*> ptrs;
+  ptrs.reserve(n);
+  uint32_t min_sz = UINT32_MAX, max_sz = 0;
+  for (const Clause& c : clauses) {
+    L.insert(L.end(), c.begin(), c.end());
+    offs.push_back((uint32_t)L.size());
+    ptrs.push_back(&c);
+    min_sz = std::min(min_sz, (uint32_t)c.size());
+    max_sz = std::max(max_sz, (uint32_t)c.size());
+  }
+  if (min_sz == max_sz) return;  // a strict subset needs a smaller subsumer
+  std::vector<uint32_t> idx(n);
+  for (uint32_t p = 0; p < n; ++p) idx[p] = p;
+  forward_subsume_flat(L.data(), offs, idx, max_sz, sc);
+  for (uint32_t p = 0; p < n; ++p)
+    if (!sc.alive[p]) clauses.erase(*ptrs[p]);
+}
+
 // Per-candidate work of the greedy pick: resolvents + self-subsumption
 // + the post-elimination ratio. Pure function of read-only `st`; all
 // working memory lives in the per-thread ScanScratch.
-double candidate_ratio(const Pre& st, int32_t var, std::vector<Clause>* res_out) {
+//
+// `prune_above`: a can't-win threshold (the scan's running best ratio).
+// The function may return 1e300 early once a SOUND lower bound on this
+// candidate's ratio exceeds it — such a candidate's true ratio is
+// strictly above the scan's final minimum, so the greedy pick (and the
+// `smallest > target` termination) are byte-identical to the unpruned
+// scan. Two bounds, cheapest first:
+//   stage 0 (before generation): survivors >= 0, so
+//     ratio >= (C - |pos| - |neg|) / (V - 1);
+//   stage 2 (after gen+dedup):   every minimum-size resolvent survives
+//     self-subsumption (only a STRICTLY smaller subset can subsume), so
+//     ratio >= (C - |pos| - |neg| + n_min_size) / (V - 1) — this skips
+//     the subsume stage, the scan's most expensive, for most
+//     non-winning candidates.
+// Winner re-materialization (res_out != nullptr) never prunes.
+double candidate_ratio(const Pre& st, int32_t var, std::vector<Clause>* res_out,
+                       double prune_above = 1e300) {
   auto it = st.index.find(var);
   if (it == st.index.end()) return 1e300;
+  const double vc = (double)st.varnum - 1;
+  const double base_cnt = (double)st.clauses.size() -
+                          (double)it->second.pos.size() -
+                          (double)it->second.neg.size();
+  if (!res_out && vc > 0 && base_cnt / vc > prune_above) {
+    if (StageTimer::on()) ++g_n_prune0;
+    return 1e300;
+  }
   ScanScratch& sc = scan_scratch();
   std::vector<lit_t>& L = sc.lits;
   std::vector<uint32_t>& offs = sc.offs;
@@ -697,110 +849,28 @@ double candidate_ratio(const Pre& st, int32_t var, std::vector<Clause>* res_out)
   //      during the counting pass) rejects nearly every survivor pair
   //      before the std::includes touches the literal data.
   auto size_of = [&](uint32_t p) { return offs[idx[p] + 1] - offs[idx[p]]; };
-  uint32_t max_sz = 0, min_sz = 0;
+  uint32_t max_sz = 0, min_sz = 0, n_min_cnt = 0;
   if (n >= 2) {
     min_sz = UINT32_MAX;
     for (uint32_t p = 0; p < n; ++p) {
       uint32_t z = size_of(p);
       max_sz = std::max(max_sz, z);
-      min_sz = std::min(min_sz, z);
+      if (z < min_sz) { min_sz = z; n_min_cnt = 1; }
+      else if (z == min_sz) ++n_min_cnt;
     }
+  }
+  // stage-2 prune: survivors >= n_min_cnt (nothing strictly smaller
+  // exists to subsume a minimum-size resolvent), so skip the subsume
+  // stage when even that floor keeps this candidate above the running
+  // best (see the prune_above contract in the function comment)
+  if (!res_out && n >= 2 && min_sz != max_sz && vc > 0 &&
+      (base_cnt + (double)n_min_cnt) / vc > prune_above) {
+    if (StageTimer::on()) ++g_n_prune2;
+    return 1e300;
   }
   if (n >= 2 && min_sz != max_sz) {
     StageTimer _t(&g_t_sub);
-    auto _tso = std::chrono::steady_clock::now();
-    // per-literal occurrence lists built by counting sort into one flat
-    // buffer (cnt/beg/cur reused across scans, cleared via `touched`);
-    // the counting pass also builds the bloom masks
-    lit_t max_lit = 0;
-    for (uint32_t p = 0; p < n; ++p)
-      max_lit = std::max(max_lit, L[offs[idx[p] + 1] - 1]);
-    if ((size_t)max_lit >= sc.cnt.size()) {
-      sc.cnt.resize(max_lit + 1, 0);
-      sc.beg.resize(max_lit + 1);
-      sc.cur.resize(max_lit + 1);
-    }
-    if (sc.mask.size() < n) sc.mask.resize(n);
-    uint32_t total = 0;
-    for (uint32_t p = 0; p < n; ++p) {
-      uint64_t mk = 0;
-      for (uint32_t o = offs[idx[p]]; o < offs[idx[p] + 1]; ++o) {
-        lit_t l = L[o];
-        if (sc.cnt[l]++ == 0) sc.touched.push_back(l);
-        ++total;
-        mk |= 1ull << (l & 63);
-      }
-      sc.mask[p] = mk;
-    }
-    uint32_t running = 0;
-    for (lit_t l : sc.touched) {
-      sc.beg[l] = running;
-      sc.cur[l] = running;
-      running += sc.cnt[l];
-    }
-
-    if (StageTimer::on()) {
-      auto _now = std::chrono::steady_clock::now();
-      g_t_sub_occ += std::chrono::duration<double>(_now - _tso).count();
-      _tso = _now;
-    }
-    // ascending-size processing order via counting sort (stable);
-    // size_beg snapshots each size's first rank before the fill
-    // destroys the prefix array (suffix boundaries below)
-    std::vector<uint32_t>& order = sc.order;
-    order.resize(n);
-    sc.size_cnt.assign(max_sz + 2, 0);
-    for (uint32_t p = 0; p < n; ++p) ++sc.size_cnt[size_of(p) + 1];
-    for (uint32_t z = 1; z <= max_sz + 1; ++z) sc.size_cnt[z] += sc.size_cnt[z - 1];
-    sc.size_beg.assign(sc.size_cnt.begin(), sc.size_cnt.end());
-    for (uint32_t p = 0; p < n; ++p) order[sc.size_cnt[size_of(p)]++] = p;
-
-    // occurrence lists hold RANKS, filled in rank order so every list
-    // ascends by size -- a subsumer probes only its strict-suffix
-    sc.items.resize(total);
-    for (uint32_t r = 0; r < n; ++r) {
-      uint32_t p = order[r];
-      for (uint32_t o = offs[idx[p]]; o < offs[idx[p] + 1]; ++o)
-        sc.items[sc.cur[L[o]]++] = r;
-    }
-
-    if (StageTimer::on()) {
-      auto _now = std::chrono::steady_clock::now();
-      g_t_sub_order += std::chrono::duration<double>(_now - _tso).count();
-      _tso = _now;
-    }
-    sc.alive.assign(n, 1);
-    for (uint32_t r = 0; r < n; ++r) {
-      uint32_t p = order[r];
-      if (!sc.alive[p]) continue;
-      const lit_t* s0 = base + offs[idx[p]];
-      const lit_t* s1 = base + offs[idx[p] + 1];
-      const uint32_t sz = (uint32_t)(s1 - s0);
-      if (sz == max_sz) continue;  // nothing strictly larger to subsume
-      lit_t rare = *s0;
-      for (const lit_t* l = s0; l < s1; ++l)
-        if (sc.cnt[*l] < sc.cnt[rare]) rare = *l;
-      if (sc.cnt[rare] == 1) continue;  // the only occurrence is p itself
-      const uint32_t* q0 = sc.items.data() + sc.beg[rare];
-      const uint32_t* q1 = q0 + sc.cnt[rare];
-      // first rank whose size exceeds sz (list ascends by rank)
-      const uint32_t* qp = std::lower_bound(q0, q1, sc.size_beg[sz + 1]);
-      if (StageTimer::on()) g_occwalk += (long)(q1 - qp);
-      const uint64_t mp = sc.mask[p];
-      for (; qp < q1; ++qp) {
-        uint32_t q = order[*qp];
-        if (!sc.alive[q]) continue;
-        if (mp & ~sc.mask[q]) continue;  // some literal of p not in q
-        if (StageTimer::on()) ++g_n_includes;
-        if (std::includes(base + offs[idx[q]], base + offs[idx[q] + 1], s0, s1))
-          sc.alive[q] = 0;
-      }
-    }
-    if (StageTimer::on())
-      g_t_sub_probe += std::chrono::duration<double>(
-          std::chrono::steady_clock::now() - _tso).count();
-    survivors = 0;
-    for (uint32_t p = 0; p < n; ++p) survivors += sc.alive[p] ? 1 : 0;
+    survivors = forward_subsume_flat(base, offs, idx, max_sz, sc);
     if (StageTimer::on()) g_survivors += (long)survivors;
     if (res_out) {
       res_out->clear();
@@ -809,8 +879,6 @@ double candidate_ratio(const Pre& st, int32_t var, std::vector<Clause>* res_out)
         if (sc.alive[p])
           res_out->emplace_back(base + offs[idx[p]], base + offs[idx[p] + 1]);
     }
-    for (lit_t l : sc.touched) sc.cnt[l] = 0;
-    sc.touched.clear();
   } else if (res_out) {
     // single resolvent or all one size: every unique resolvent survives
     res_out->clear();
@@ -819,10 +887,7 @@ double candidate_ratio(const Pre& st, int32_t var, std::vector<Clause>* res_out)
       res_out->emplace_back(base + offs[k], base + offs[k + 1]);
   }
 
-  double clause_count = (double)st.clauses.size() - it->second.pos.size() -
-                        it->second.neg.size() + survivors;
-  double var_count = (double)st.varnum - 1;
-  return var_count > 0 ? clause_count / var_count : 1e300;
+  return vc > 0 ? (base_cnt + (double)survivors) / vc : 1e300;
 }
 
 bool min_ratio_resolvant(const Pre& st, const std::set<int32_t>& candidates,
@@ -830,7 +895,30 @@ bool min_ratio_resolvant(const Pre& st, const std::set<int32_t>& candidates,
                          ClauseSet* out_resolvents) {
   const bool prof = std::getenv("ODESAT_NATIVE_PROFILE") != nullptr;
   auto now = [] { return std::chrono::steady_clock::now(); };
-  const std::vector<int32_t> vars(candidates.begin(), candidates.end());
+  // Scan candidates in a cheap ratio-proxy order — ascending
+  // |pos|*|neg| - |pos| - |neg| (resolvents generated minus clauses
+  // removed) — so the running best drops fast and the can't-win prune
+  // in candidate_ratio fires for most of the scan. The reduce below is
+  // lexicographic on (ratio, var), which equals the reference's
+  // first-strict-less scan over ascending vars (lowest var among ties),
+  // so the pick is independent of this order.
+  std::vector<int32_t> vars(candidates.begin(), candidates.end());
+  {
+    std::vector<std::pair<int64_t, int32_t>> ord;
+    ord.reserve(vars.size());
+    for (int32_t var : vars) {
+      auto it = st.index.find(var);
+      int64_t key = INT64_MAX;
+      if (it != st.index.end()) {
+        const int64_t p = (int64_t)it->second.pos.size();
+        const int64_t q = (int64_t)it->second.neg.size();
+        key = p * q - p - q;
+      }
+      ord.emplace_back(key, var);
+    }
+    std::sort(ord.begin(), ord.end());
+    for (size_t i = 0; i < ord.size(); ++i) vars[i] = ord[i].second;
+  }
   const size_t n = vars.size();
   unsigned hw = std::thread::hardware_concurrency();
   // ODESAT_NATIVE_THREADS overrides the pool width (0/unset = hardware
@@ -856,12 +944,37 @@ bool min_ratio_resolvant(const Pre& st, const std::set<int32_t>& candidates,
     // persistent ScanPool (per-round std::thread spawning measured net
     // negative on ~1 ms rounds).
     std::vector<double> ratios(n, 1e300);
+    // shared running best for the can't-win prune: ratios are finite
+    // non-negative doubles, whose IEEE ordering equals their bit
+    // pattern's integer ordering, so a relaxed CAS-min on the bits
+    // suffices. A stale (larger) read only prunes less — the reduce
+    // below still sees every candidate that could win, so the pick
+    // stays byte-identical run to run.
+    uint64_t inf_bits;
+    {
+      double d = 1e300;
+      std::memcpy(&inf_bits, &d, sizeof d);
+    }
+    std::atomic<uint64_t> best_bits(inf_bits);
     ScanPool::get().run(n, nt - 1, [&](size_t i) {
-      ratios[i] = candidate_ratio(st, vars[i], nullptr);
+      uint64_t b = best_bits.load(std::memory_order_relaxed);
+      double cur;
+      std::memcpy(&cur, &b, sizeof cur);
+      double r = candidate_ratio(st, vars[i], nullptr, cur);
+      ratios[i] = r;
+      uint64_t rb;
+      std::memcpy(&rb, &r, sizeof rb);
+      while (rb < b &&
+             !best_bits.compare_exchange_weak(b, rb, std::memory_order_relaxed)) {
+      }
     });
     size_t bi = n;
     for (size_t i = 0; i < n; ++i)
-      if (ratios[i] < smallest) { smallest = ratios[i]; bi = i; }
+      if (ratios[i] < smallest ||
+          (bi < n && ratios[i] == smallest && vars[i] < vars[bi])) {
+        smallest = ratios[i];
+        bi = i;
+      }
     if (bi == n || smallest > (double)target) return false;
     best = vars[bi];
     // recompute only the winner's resolvents (one candidate's work —
@@ -873,12 +986,12 @@ bool min_ratio_resolvant(const Pre& st, const std::set<int32_t>& candidates,
     // across the n=10k run)
     for (int32_t var : vars) {
       auto ta = now();
-      double ratio = candidate_ratio(st, var, nullptr);
+      double ratio = candidate_ratio(st, var, nullptr, smallest);
       if (prof) {
         auto tc = now();
         g_t_resolve += std::chrono::duration<double>(tc - ta).count();
       }
-      if (ratio < smallest) {
+      if (ratio < smallest || (ratio == smallest && best >= 0 && var < best)) {
         smallest = ratio;
         best = var;
       }
@@ -910,6 +1023,7 @@ int odesat_preprocess(const lit_t* lits, const int64_t* offsets,
   g_t_resolve = g_t_gen = g_t_dedup = g_t_sub = 0;  // per-call stage split
   g_t_sub_occ = g_t_sub_order = g_t_sub_probe = 0;
   g_n_all = g_n_uniq = g_n_includes = g_survivors = g_occwalk = 0;
+  g_n_prune0 = g_n_prune2 = 0;
   Pre st;
   st.varnum = varnum;
   for (int64_t m = 0; m < n_clauses; ++m) {
@@ -963,15 +1077,17 @@ int odesat_preprocess(const lit_t* lits, const int64_t* offsets,
                  "bce-on-resolvents %.2fs (%ld rounds, %ld candidate scans)\n"
                  "[odesat_native] subsume split: occ %.3f order %.3f probe %.3f"
                  " | n_all %ld uniq %ld includes %ld\n"
-                 "[odesat_native] stats: survivors %ld occwalk %ld\n",
+                 "[odesat_native] stats: survivors %ld occwalk %ld "
+                 "prune0 %ld prune2 %ld\n",
                  t_pick, g_t_resolve, g_t_gen, g_t_dedup, g_t_sub, t_elim,
                  t_bce, n_rounds, n_cands,
                  g_t_sub_occ, g_t_sub_order, g_t_sub_probe,
                  g_n_all, g_n_uniq, g_n_includes,
-                 g_survivors, g_occwalk);
+                 g_survivors, g_occwalk, g_n_prune0, g_n_prune2);
   auto t2 = now();
+  release_scan_scratch();  // drop the peak-VE buffers before the final pass
+  subsume_clauses_indexed(st.clauses);  // regrows a small final-set scratch
   release_scan_scratch();
-  subsume_clauses_indexed(st.clauses);
   auto t3 = now();
   if (prof)
     std::fprintf(stderr,

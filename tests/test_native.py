@@ -105,6 +105,38 @@ def test_native_preprocess_parity_stress(seed):
     assert [s for s in nat_trace.steps] == [s for s in py_trace.steps]
 
 
+def test_native_greedy_pick_tie_break_lowest_var():
+    """The greedy pick scans candidates in a cheap ratio-proxy order
+    (with can't-win pruning) but must still resolve exact ratio TIES to
+    the lowest variable — the reference's first-strict-less scan over
+    ascending vars (src/cnf.rs:717-754). Two disjoint, literally
+    identical variable neighborhoods force a tie; the trace's first VE
+    step must name the lower variable, byte-identical to the Python
+    twin."""
+    from odesat_tpu.cnf.formula import CNFFormula, Literal
+    from odesat_tpu.preprocess.trace import VariableElimination
+
+    def block(a, b, c):
+        return [
+            (Literal(a, False), Literal(b, False)),
+            (Literal(a, True), Literal(c, False)),
+            (Literal(b, False), Literal(c, True)),
+        ]
+
+    # vars (1,2,3) and (4,5,6) are symmetric: eliminating 1 or 4 yields
+    # the same ratio, so the pick is a pure tie-break
+    formula = CNFFormula(block(1, 2, 3) + block(4, 5, 6), 6)
+    py_reduced, py_trace = preprocess_formula(formula, 50.0, native=False)
+    nat_reduced, nat_trace = native.preprocess_native(formula, 50.0)
+    assert nat_reduced.clauses == py_reduced.clauses
+    assert list(nat_trace.steps) == list(py_trace.steps)
+    first_ve = next(
+        (s for s in nat_trace.steps if isinstance(s, VariableElimination)), None
+    )
+    if first_ve is not None:  # BCE may fire first; the parity above is primary
+        assert first_ve.variable in (1, 2, 3)
+
+
 def test_native_preprocess_easy(data_dir):
     formula = parse_dimacs_file(os.path.join(data_dir, "easy.cnf"))
     py_reduced, py_trace = preprocess_formula(formula, 7.0)
