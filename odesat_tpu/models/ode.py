@@ -423,10 +423,82 @@ def make_chunk_runner(
     return jax.jit(run_chunk, donate_argnums=0 if donate else ())
 
 
+# Multi-chunk runners are cached so repeated simulate_batch calls don't
+# re-jit (and re-compile, seconds each on the remote backend) the
+# while_loop program. Two tiers:
+#  - chunk runners exposing a shape-cached core (_core/_extra from
+#    ops/kernelctx.wrap_chunk_runner — the fused/stream Pallas kernels)
+#    share ONE compiled while program per static shape: the incidence
+#    planes ride as jit ARGUMENTS, so a same-shaped instance costs
+#    nothing. Tracing the closure wrapper instead would bake the planes
+#    in as constants — one full remote compile per instance (measured
+#    ~7 s per uf250 instance before this split).
+#  - scan-path runners (content threads through `dev`) fall back to a
+#    bounded formula-identity cache; the value pins `fa` so a recycled
+#    id() cannot alias a dead formula's runner.
+_MULTI_CORE_CACHE: dict = {}
+_MULTI_CHUNK_CACHE: dict = {}
+
+
 def make_multi_chunk_runner(
     fa: FormulaArrays,
     zeta: float,
     ode: ODEConfig,
+    chunk_steps: int,
+    max_chunks: int,
+    stop_on: str = "any",
+):
+    chunk = make_chunk_runner(fa, zeta, ode, chunk_steps, donate=False)
+    core = getattr(chunk, "_core", None)
+    if core is not None:
+        # max_chunks rides as a TRACED scalar, not a static constant —
+        # one compiled while program per (shape, inner chunk) serves
+        # every dispatch-slice and budget-tail size (a static bound
+        # meant one slow remote compile per distinct budget)
+        key = (chunk._cache_key, stop_on)
+        jitted_run = _MULTI_CORE_CACHE.get(key)
+        if jitted_run is None:
+            stop_all = stop_on == "all"
+
+            def run(state: ODEState, extra, n_chunks):
+                def cond(carry):
+                    st, i = carry
+                    solved = jnp.all(st.done) if stop_all else jnp.any(st.done)
+                    return (i < n_chunks) & ~solved
+
+                def body(carry):
+                    st, i = carry
+                    return core(st, *extra), i + 1
+
+                st, n = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+                return st, n * chunk_steps
+
+            jitted_run = jax.jit(run, donate_argnums=0)
+            _MULTI_CORE_CACHE[key] = jitted_run
+        extra = chunk._extra
+        bound = jnp.int32(max_chunks)
+        return lambda state, dev=None: jitted_run(state, extra, bound)
+
+    key = (
+        id(fa),
+        float(zeta),
+        tuple(sorted((k, v) for k, v in dataclasses.asdict(ode).items())),
+        chunk_steps,
+        max_chunks,
+        stop_on,
+    )
+    hit = _MULTI_CHUNK_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    run = _build_multi_chunk_runner(chunk, chunk_steps, max_chunks, stop_on)
+    if len(_MULTI_CHUNK_CACHE) >= 128:
+        _MULTI_CHUNK_CACHE.clear()
+    _MULTI_CHUNK_CACHE[key] = (run, fa)
+    return run
+
+
+def _build_multi_chunk_runner(
+    chunk,
     chunk_steps: int,
     max_chunks: int,
     stop_on: str = "any",
@@ -443,7 +515,6 @@ def make_multi_chunk_runner(
     reference's per-step solved break (src/system.rs:192-196).
     ``steps_advanced`` is exact (chunks actually run x chunk_steps), so
     the host budget accounting stays precise."""
-    chunk = make_chunk_runner(fa, zeta, ode, chunk_steps, donate=False)
     stop_all = stop_on == "all"
 
     def run(state: ODEState, dev: FormulaDevice):
@@ -541,23 +612,27 @@ def simulate_batch(
         state = init_state(fa, config.batch_size, key, ode, v0=v0)
     dev = formula_device(fa, dtype=_dtype(ode), matmul_dtype=ode.matmul_dtype)
 
-    # Small batches are dispatch-latency bound (the remote TPU round trip
-    # dwarfs the step cost). An on-device bounded while_loop runs many
-    # chunks per dispatch with an exact done short-circuit between them
-    # (make_multi_chunk_runner) — unlike host-side chunk growth, the
-    # early-exit window stays ONE inner chunk while dispatch overhead
-    # amortizes over up to DISPATCH_STEPS steps.
+    # Chunked dispatch is round-trip bound on the remote TPU (measured
+    # 1.30e8 vs 2.24e8 traj*steps/s at B=16384, chunk=500 on hard.cnf).
+    # An on-device bounded while_loop runs many chunks per dispatch with
+    # an exact done short-circuit between them (make_multi_chunk_runner)
+    # — unlike host-side chunk growth, the early-exit window stays ONE
+    # inner chunk while dispatch overhead amortizes over the whole
+    # dispatch. Used at every batch size; the per-dispatch slice scales
+    # down with B so one dispatch stays ~1 s (the host regains control —
+    # logging, KeyboardInterrupt — at that cadence).
     chunk_steps = config.chunk_steps
-    DISPATCH_STEPS = 262144
+    DISPATCH_STEPS = min(
+        262144, max(chunk_steps, (1 << 28) // max(config.batch_size, 1))
+    )
     use_device_loop = (
         mesh is None
         and harvest is None  # the oracle exit needs host control per chunk
         and not config.wants_chunk_cadence()
         # a wall-clock budget is only checked between dispatches: a
-        # 262144-step dispatch could overshoot it by minutes on a slow
-        # instance, so budgeted runs keep host-paced chunks
+        # full-slice dispatch could overshoot it on a slow instance,
+        # so budgeted runs keep host-paced chunks
         and config.wall_clock_budget_s is None
-        and config.batch_size < 1024
         and (ode.steps is None or ode.steps > chunk_steps)
     )
 

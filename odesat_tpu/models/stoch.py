@@ -235,6 +235,58 @@ def make_stoch_chunk_runner(
     return jax.jit(run_chunk, donate_argnums=0 if donate else ())
 
 
+# One compiled while program per static shape: the chunk kernel's core
+# traces with its incidence planes as jit ARGUMENTS (see
+# ops/kernelctx.wrap_chunk_runner and the ODE twin in models/ode.py),
+# so a same-shaped instance reuses the program instead of recompiling.
+_MULTI_STOCH_CACHE: dict = {}
+
+
+def make_multi_stoch_runner(
+    fa: FormulaArrays,
+    chunk_steps: int,
+    max_chunks: int,
+    matmul_dtype: str = "float32",
+    fused: str = "auto",
+):
+    """Jitted ``state -> (state, steps_advanced)`` running up to
+    ``max_chunks`` chunks of ``chunk_steps`` inside ONE dispatch with an
+    on-device done short-circuit between chunks — the stoch twin of
+    models/ode.make_multi_chunk_runner. Returns None when the chunk
+    runner has no shape-cached core (scan path), where the caller keeps
+    host-paced chunks."""
+    chunk = make_stoch_chunk_runner(
+        fa, chunk_steps, fused=fused, matmul_dtype=matmul_dtype, donate=False
+    )
+    core = getattr(chunk, "_core", None)
+    if core is None:
+        return None
+    # max_chunks is a TRACED scalar (see the ODE twin): one compiled
+    # while program per (shape, inner chunk) serves every dispatch and
+    # budget-tail size
+    cache_key = chunk._cache_key
+    jitted_run = _MULTI_STOCH_CACHE.get(cache_key)
+    if jitted_run is None:
+
+        def run(state: StochState, extra, n_chunks):
+            def cond(carry):
+                st, i = carry
+                return (i < n_chunks) & ~jnp.any(st.done)
+
+            def body(carry):
+                st, i = carry
+                return core(st, *extra), i + 1
+
+            st, n = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+            return st, n * chunk_steps
+
+        jitted_run = jax.jit(run, donate_argnums=0)
+        _MULTI_STOCH_CACHE[cache_key] = jitted_run
+    extra = chunk._extra
+    bound = jnp.int32(max_chunks)
+    return lambda state: jitted_run(state, extra, bound)
+
+
 def search(
     formula_or_arrays,
     config: Optional[SolverConfig] = None,
@@ -319,8 +371,32 @@ def search(
             )
 
     else:
+        # Same device-loop dispatch structure as the ODE engine
+        # (models/ode.py simulate_batch): when the chunk runner exposes
+        # a shape-cached core, run many chunks per dispatch inside an
+        # on-device while_loop with a done short-circuit between them —
+        # round trips amortize over the whole dispatch while the
+        # early-exit window stays ONE inner chunk. Scan-path runners
+        # (no core) keep host-paced chunks, which also sidesteps the
+        # bake-planes-as-constants recompile trap.
+        inner_chunk = config.chunk_steps
+        DISPATCH_STEPS = min(
+            262144, max(inner_chunk, (1 << 28) // max(config.batch_size, 1))
+        )
+        use_device_loop = (
+            not config.wants_chunk_cadence()
+            and config.wall_clock_budget_s is None
+            and (config.ode.steps is None or config.ode.steps > inner_chunk)
+        )
 
         def make_runner(n):
+            if use_device_loop and n > inner_chunk:
+                multi = make_multi_stoch_runner(
+                    fa, inner_chunk, n // inner_chunk,
+                    matmul_dtype=config.ode.matmul_dtype,
+                )
+                if multi is not None:
+                    return multi
             return make_stoch_chunk_runner(
                 fa, n, matmul_dtype=config.ode.matmul_dtype
             )
@@ -366,6 +442,11 @@ def search(
     from odesat_tpu.models.loop import drive_chunks
     from odesat_tpu.utils.checkpoint import mesh_layout_of
 
+    dispatch_chunk = None
+    if mesh is None and use_device_loop:
+        dispatch_chunk = DISPATCH_STEPS
+        if config.ode.steps is not None:
+            dispatch_chunk = min(dispatch_chunk, config.ode.steps)
     state, steps_run, wall_time = drive_chunks(
         state,
         make_runner,
@@ -373,6 +454,7 @@ def search(
         budget=config.ode.steps,
         should_stop=lambda st, done: bool(done.any()),
         steps_resumed=steps_resumed,
+        chunk_steps=dispatch_chunk,
         mesh_layout=mesh_layout_of(mesh),
     )
 

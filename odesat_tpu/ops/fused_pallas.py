@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-from odesat_tpu.ops.kernelctx import pallas_call_32bit
+from odesat_tpu.ops.kernelctx import pallas_call_32bit, wrap_chunk_runner
 
 from odesat_tpu.cnf.arrays import FormulaArrays
 from odesat_tpu.constants import (
@@ -159,7 +159,7 @@ def make_fused_chunk(
     )
     jitted = _JIT_CACHE.get(cache_key)
     if jitted is not None:
-        return lambda state, dev=None: jitted(state, G_host, bias_host, cmask_host)
+        return wrap_chunk_runner(jitted, cache_key, G_host, bias_host, cmask_host)
 
     def kernel(v_ref, xs_ref, xl_ref, dt_ref, done_ref,
                g_ref, bias_ref, cmask_ref,
@@ -416,4 +416,4 @@ def make_fused_chunk(
 
     jitted = jax.jit(raw, donate_argnums=0 if donate else ())
     _JIT_CACHE[cache_key] = jitted
-    return lambda state, dev=None: jitted(state, G_host, bias_host, cmask_host)
+    return wrap_chunk_runner(jitted, cache_key, G_host, bias_host, cmask_host)

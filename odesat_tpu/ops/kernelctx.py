@@ -38,3 +38,26 @@ def pallas_call_32bit(*args, **kwargs):
             return inner(*a, **k)
 
     return invoke
+
+
+def wrap_chunk_runner(jitted, cache_key, *extra):
+    """Wrap a shape-cached jitted chunk kernel into the `(state, dev) ->
+    state` runner signature, exposing the pieces composition needs:
+
+    - ``_core``: the shape-cached jitted function itself (same object
+      for every same-shaped formula via the kernel's _JIT_CACHE);
+    - ``_extra``: this instance's incidence-plane arguments;
+    - ``_cache_key``: the kernel's static-shape cache key.
+
+    Callers that embed the runner in a larger jitted program (the
+    on-device multi-chunk loop in models/ode.py) MUST trace ``_core``
+    with ``_extra`` threaded as jit arguments — tracing the closure
+    wrapper instead bakes the planes into the program as constants,
+    turning every same-shaped instance into a fresh compile."""
+    def fn(state, dev=None):
+        return jitted(state, *extra)
+
+    fn._core = jitted
+    fn._extra = extra
+    fn._cache_key = cache_key
+    return fn

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-from odesat_tpu.ops.kernelctx import pallas_call_32bit
+from odesat_tpu.ops.kernelctx import pallas_call_32bit, wrap_chunk_runner
 
 from odesat_tpu.cnf.arrays import FormulaArrays
 from odesat_tpu.constants import STOCH_ALPHA
@@ -127,8 +127,8 @@ def make_fused_stoch_chunk(
     )
     jitted = _JIT_CACHE.get(cache_key)
     if jitted is not None:
-        return lambda state: jitted(
-            state, G_host, bias_host, sign_host, cmask_host, has_occ_host
+        return wrap_chunk_runner(
+            jitted, cache_key, G_host, bias_host, sign_host, cmask_host, has_occ_host
         )
 
     def kernel(seed_ref, v_ref, xl_ref, done_ref,
@@ -273,8 +273,8 @@ def make_fused_stoch_chunk(
 
     jitted = jax.jit(raw, donate_argnums=0 if donate else ())
     _JIT_CACHE[cache_key] = jitted
-    return lambda state: jitted(
-        state, G_host, bias_host, sign_host, cmask_host, has_occ_host
+    return wrap_chunk_runner(
+        jitted, cache_key, G_host, bias_host, sign_host, cmask_host, has_occ_host
     )
 
 
@@ -387,8 +387,8 @@ def make_stream_stoch_chunk(
     )
     jitted = _JIT_CACHE.get(cache_key)
     if jitted is not None:
-        return lambda state: jitted(
-            state, G_host, bias_host, sign_host, cmask_host, has_occ_host
+        return wrap_chunk_runner(
+            jitted, cache_key, G_host, bias_host, sign_host, cmask_host, has_occ_host
         )
 
     def kernel(seed_ref, v_ref, xl_ref, done_ref,
@@ -590,8 +590,8 @@ def make_stream_stoch_chunk(
 
     jitted = jax.jit(raw, donate_argnums=0 if donate else ())
     _JIT_CACHE[cache_key] = jitted
-    return lambda state: jitted(
-        state, G_host, bias_host, sign_host, cmask_host, has_occ_host
+    return wrap_chunk_runner(
+        jitted, cache_key, G_host, bias_host, sign_host, cmask_host, has_occ_host
     )
 
 

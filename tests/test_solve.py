@@ -265,3 +265,86 @@ def test_multi_chunk_runner_exact_accounting(data_dir):
         ref = chunk(ref, dev)
     np.testing.assert_array_equal(np.asarray(out.v), np.asarray(ref.v))
     np.testing.assert_array_equal(np.asarray(out.done), np.asarray(ref.done))
+
+
+def test_multi_chunk_runner_shares_core_program_across_instances():
+    """When the chunk runner exposes a shape-cached core (fused/stream
+    Pallas kernels via ops/kernelctx.wrap_chunk_runner), the multi-chunk
+    while program must (a) be built ONCE per static shape — the
+    incidence planes ride as jit arguments, so a second same-shaped
+    formula reuses the compiled program — and (b) still solve each
+    instance against ITS OWN formula (a closure-traced wrapper would
+    bake instance 0's planes in as constants: the round-4 TTS cache bug,
+    one level down). Forced-fused in interpret mode off-TPU."""
+    import jax.numpy as jnp
+
+    from odesat_tpu.cnf import compile_formula
+    from odesat_tpu.cnf.formula import CNFFormula, Literal
+    from odesat_tpu.models import ode as ode_mod
+    from odesat_tpu.models.ode import (
+        formula_device,
+        init_state,
+        make_multi_chunk_runner,
+    )
+
+    def pair(a, b):
+        return (Literal(0, a), Literal(1, b))
+
+    sat = CNFFormula([pair(False, False)] * 4, 2)  # all (x0 v x1): SAT
+    unsat = CNFFormula(
+        [pair(False, False), pair(False, True), pair(True, False),
+         pair(True, True)], 2,
+    )
+    ode = ODEConfig(step_size=0.05, dv_strategy="fused")
+    zeta = ode.resolve_zeta(0.0)
+
+    fa1 = compile_formula(sat)
+    fa2 = compile_formula(unsat)
+    n_programs0 = len(ode_mod._MULTI_CORE_CACHE)
+    m1 = make_multi_chunk_runner(fa1, zeta, ode, 16, 8, stop_on="any")
+    m2 = make_multi_chunk_runner(fa2, zeta, ode, 16, 8, stop_on="any")
+    assert len(ode_mod._MULTI_CORE_CACHE) == n_programs0 + 1  # shared program
+
+    out1, steps1 = m1(init_state(fa1, 8, jax.random.PRNGKey(1), ode),
+                      formula_device(fa1))
+    out2, steps2 = m2(init_state(fa2, 8, jax.random.PRNGKey(1), ode),
+                      formula_device(fa2))
+    assert bool(jnp.any(out1.done))        # SAT instance converges fast
+    assert not bool(jnp.any(out2.done))    # UNSAT can never latch done
+    assert int(steps2) == 16 * 8           # ran the full dispatch
+
+
+def test_multi_stoch_runner_core_and_fallback(data_dir):
+    """The stoch device loop mirrors the ODE one: with a core-exposing
+    kernel (forced fused, interpret mode) it advances in exact inner
+    chunks and matches the plain chunk runner; with the scan path it
+    returns None so the caller keeps host-paced chunks."""
+    import jax.numpy as jnp
+
+    from odesat_tpu.cnf import compile_formula, normalize_cnf_variables, parse_dimacs_file
+    from odesat_tpu.models.stoch import (
+        init_stoch_state,
+        make_multi_stoch_runner,
+        make_stoch_chunk_runner,
+    )
+
+    formula = parse_dimacs_file(os.path.join(data_dir, "hard.cnf"))
+    _, normalized = normalize_cnf_variables(formula)
+    fa = compile_formula(normalized)
+
+    assert make_multi_stoch_runner(fa, 16, 4) is None  # scan path off-TPU
+
+    multi = make_multi_stoch_runner(fa, 16, 4, fused="on")
+    assert multi is not None
+    state0 = init_stoch_state(fa, 8, jax.random.PRNGKey(3))
+    fresh = lambda: jax.tree.map(lambda x: jnp.array(np.asarray(x)), state0)  # noqa: E731
+    out, steps = multi(fresh())
+    n = int(steps) // 16
+    assert int(steps) == n * 16 and 1 <= n <= 4
+
+    chunk = make_stoch_chunk_runner(fa, 16, fused="on", donate=False)
+    ref = fresh()
+    for _ in range(n):
+        ref = chunk(ref)
+    np.testing.assert_array_equal(np.asarray(out.v), np.asarray(ref.v))
+    np.testing.assert_array_equal(np.asarray(out.done), np.asarray(ref.done))
