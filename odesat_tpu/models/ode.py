@@ -447,9 +447,14 @@ def make_multi_chunk_runner(
     chunk_steps: int,
     max_chunks: int,
     stop_on: str = "any",
+    core_only: bool = False,
 ):
     chunk = make_chunk_runner(fa, zeta, ode, chunk_steps, donate=False)
     core = getattr(chunk, "_core", None)
+    if core is None and core_only:
+        # caller wants the shape-shared program or nothing (a scan-path
+        # while program would recompile per formula)
+        return None
     if core is not None:
         # max_chunks rides as a TRACED scalar, not a static constant —
         # one compiled while program per (shape, inner chunk) serves

@@ -154,6 +154,86 @@ def solve_exact(
 
     n0 = min(chunk, budget)
     sync(runner(n0)(init_state(fa, batch, _jax.random.PRNGKey(0), ode), dev))
+
+    def finish(cur, final, base, n, chunks, wall):
+        # bisect inside the final chunk: smallest k in (0, n] with
+        # done.any(). done latches, so each probe either crosses the
+        # first-solve step (discard) or lands before it (advance the
+        # snapshot).
+        off = 0
+        for size in _pow2_ladder(n):
+            if off + size >= n:  # can't advance past the known-solved point
+                continue
+            probe = runner(size)(cur, dev)
+            if sync(probe).any():
+                final = probe
+                continue
+            cur = probe
+            off += size
+        exact = base + off + 1
+        from odesat_tpu.parallel.dist import fetch
+
+        # `final` is the earliest solved state seen; its lowest-indexed
+        # done trajectory latched at some step <= final's and has been
+        # frozen since (sign readout one update past detection,
+        # src/system.rs:238 — the reference applies the update on the
+        # allsat step too)
+        idx = int(np.flatnonzero(fetch(final.done))[0])
+        assignment = fetch(final.v[idx, : fa.n_vars] > 0.0) if readout else None
+        return ExactSolve(steps=exact, solved=True, chunks=chunks,
+                          wall_s=wall, solved_index=idx, assignment=assignment)
+
+    # Device-loop fast path: run the whole chunk ladder in ONE dispatch
+    # (on-device while_loop with a done short-circuit between chunks —
+    # models/ode.make_multi_chunk_runner), then recover the pre-final-
+    # chunk snapshot by a deterministic replay (bit-identical kernels,
+    # pinned by the determinism soak) and bisect as before. Wall TTS
+    # then carries one round trip instead of one per chunk; the exact
+    # step count is unchanged.
+    from odesat_tpu.models.ode import make_multi_chunk_runner
+
+    import jax.numpy as jnp
+
+    multi = None
+    if budget // chunk >= 2:
+        multi = make_multi_chunk_runner(
+            fa, zeta, ode, chunk, budget // chunk, core_only=True
+        )
+    if multi is not None:
+        copy = lambda st: jax.tree.map(jnp.copy, st)  # noqa: E731
+        # warm the while program off the clock (the dispatch donates its
+        # input, so the warm-up runs on a disposable copy)
+        out, _ = multi(init_state(fa, batch, _jax.random.PRNGKey(0), ode))
+        sync(out)
+        t0 = time.perf_counter()
+        out, adv = multi(copy(state))
+        done = sync(out)
+        wall = time.perf_counter() - t0
+        chunks = 1
+        steps = int(adv)
+        if not done.any():
+            rem = budget - steps
+            if rem > 0:  # budget tail shorter than one chunk, host-paced
+                before_tail = out
+                t1 = time.perf_counter()
+                out = runner(rem)(out, dev)
+                done = sync(out)
+                wall += time.perf_counter() - t1
+                chunks += 1
+                if done.any():
+                    return finish(before_tail, out, steps, rem, chunks, wall)
+            return ExactSolve(steps=budget, solved=False, chunks=chunks,
+                              wall_s=wall)
+        n_chunks = steps // chunk
+        if n_chunks > 1:
+            replay = make_multi_chunk_runner(
+                fa, zeta, ode, chunk, n_chunks - 1, core_only=True
+            )
+            prev, _ = replay(copy(state))
+        else:
+            prev = state
+        return finish(prev, out, steps - chunk, chunk, chunks, wall)
+
     steps = 0
     chunks = 0
     prev = state
@@ -170,34 +250,7 @@ def solve_exact(
         return ExactSolve(steps=budget, solved=False, chunks=chunks,
                           wall_s=time.perf_counter() - t0)
     wall = time.perf_counter() - t0
-
-    # bisect inside the final chunk: smallest k in (0, n] with done.any().
-    # done latches, so each probe either crosses the first-solve step
-    # (discard) or lands before it (advance the snapshot).
-    base = steps - n  # steps at the pre-final-chunk snapshot
-    off = 0
-    cur = prev
-    final = state
-    for size in _pow2_ladder(n):
-        if off + size >= n:  # can't advance past the known-solved point
-            continue
-        probe = runner(size)(cur, dev)
-        if sync(probe).any():
-            final = probe
-            continue
-        cur = probe
-        off += size
-    exact = base + off + 1
-    from odesat_tpu.parallel.dist import fetch
-
-    # `final` is the earliest solved state seen; its lowest-indexed done
-    # trajectory latched at some step <= final's and has been frozen
-    # since (sign readout one update past detection, src/system.rs:238
-    # — the reference applies the update on the allsat step too)
-    idx = int(np.flatnonzero(fetch(final.done))[0])
-    assignment = fetch(final.v[idx, : fa.n_vars] > 0.0) if readout else None
-    return ExactSolve(steps=exact, solved=True, chunks=chunks, wall_s=wall,
-                      solved_index=idx, assignment=assignment)
+    return finish(prev, state, steps - n, n, chunks, wall)
 
 
 def tts_breakdown(steps: int, chunks: int, batch: int, kernel_rate: float,
