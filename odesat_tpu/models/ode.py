@@ -660,13 +660,46 @@ def simulate_batch(
             r = make_chunk_runner(fa, zeta, ode, n)
             return lambda st: r(st, dev)
     else:
-        from odesat_tpu.parallel.sharded import make_sharded_chunk_runner, shard_inputs
+        from odesat_tpu.parallel.sharded import (
+            make_sharded_chunk_runner,
+            make_sharded_multi_runner,
+            shard_inputs,
+        )
 
         state, dev = shard_inputs(state, dev, mesh)
 
-        def make_runner(n):
-            r = make_sharded_chunk_runner(fa, zeta, ode, n, mesh)
-            return lambda st: r(st, dev)
+        # trajectory-only (pure DP) meshes get the same device-loop
+        # dispatch as the single-chip path: the stop flag reduces over
+        # the traj axis every inner chunk (pmax over ICI), so a pod run
+        # pays one host round trip per dispatch instead of per chunk
+        mesh_loop = (
+            harvest is None
+            and not config.wants_chunk_cadence()
+            and config.wall_clock_budget_s is None
+            and (ode.steps is None or ode.steps > chunk_steps)
+        ) and make_sharded_multi_runner(
+            fa, zeta, ode, chunk_steps, 1, mesh, stop_on
+        ) is not None
+        if mesh_loop:
+            inner_chunk = chunk_steps
+            chunk_steps = DISPATCH_STEPS
+            if ode.steps is not None:
+                chunk_steps = min(chunk_steps, ode.steps)
+
+            def make_runner(n):
+                if n > inner_chunk:
+                    m = make_sharded_multi_runner(
+                        fa, zeta, ode, inner_chunk, n // inner_chunk, mesh,
+                        stop_on,
+                    )
+                    if m is not None:
+                        return m
+                r = make_sharded_chunk_runner(fa, zeta, ode, n, mesh)
+                return lambda st: r(st, dev)
+        else:
+            def make_runner(n):
+                r = make_sharded_chunk_runner(fa, zeta, ode, n, mesh)
+                return lambda st: r(st, dev)
 
     def should_stop(st, done):
         # harvest first: the oracle-verified exit (and its progress

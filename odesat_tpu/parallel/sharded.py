@@ -280,6 +280,103 @@ def _with_consistency_check(runner, fa, zeta, ode, mesh):
     return run
 
 
+# Sharded programs shared across same-shaped instances (planes as jit
+# args, chunk bound traced — the mesh twins of models/ode.py's
+# _MULTI_CORE_CACHE)
+_SHARDED_PROGRAM_CACHE: dict = {}
+
+
+def _mesh_key(mesh: Mesh):
+    return (
+        tuple(mesh.shape.items()),
+        tuple(d.id for d in mesh.devices.flat),
+    )
+
+
+def make_sharded_multi_runner(
+    fa: FormulaArrays,
+    zeta: float,
+    ode: ODEConfig,
+    chunk_steps: int,
+    max_chunks: int,
+    mesh: Mesh,
+    stop_on: str = "any",
+):
+    """Mesh twin of models/ode.make_multi_chunk_runner for trajectory-only
+    (pure DP) meshes: one dispatch runs up to ``max_chunks`` chunks of the
+    Pallas chunk kernel per device inside a ``lax.while_loop``, with the
+    stop flag globally reduced over the ``traj`` axis every chunk (a tiny
+    pmax/pmin over ICI) so every device exits after the SAME chunk —
+    ``steps_advanced`` is uniform and exact. Returns ``state ->
+    (state, steps_advanced)`` or None when the config has no shape-cached
+    core kernel (scan path, clause meshes, shared-dt adaptive)."""
+    import jax.numpy as jnp
+
+    if mesh.shape.get("clause", 1) > 1:
+        return None
+    if ode.dt_mode == "shared" and ode.step_size is None:
+        return None
+    if ode.dv_strategy not in ("auto", "fused", "stream"):
+        return None
+    from odesat_tpu.ops.fused_pallas import fused_supported, make_fused_chunk
+    from odesat_tpu.ops.stream_pallas import make_stream_chunk, stream_supported
+
+    on_tpu_f32 = jax.default_backend() == "tpu" and ode.dtype == "float32"
+    itemsize = 2 if ode.matmul_dtype == "bfloat16" else 4
+    kernel = None
+    if ode.dv_strategy == "fused":
+        kernel = make_fused_chunk(fa, zeta, ode, chunk_steps, donate=False)
+    elif ode.dv_strategy == "stream":
+        kernel = make_stream_chunk(fa, zeta, ode, chunk_steps, donate=False)
+    elif on_tpu_f32 and fused_supported(fa, itemsize):
+        kernel = make_fused_chunk(fa, zeta, ode, chunk_steps, donate=False)
+    elif on_tpu_f32 and stream_supported(fa, itemsize):
+        kernel = make_stream_chunk(fa, zeta, ode, chunk_steps, donate=False)
+    core = getattr(kernel, "_core", None)
+    if core is None:
+        return None
+
+    stop_all = stop_on == "all"
+    pkey = ("dp_multi", kernel._cache_key, stop_on, _mesh_key(mesh))
+    jitted = _SHARDED_PROGRAM_CACHE.get(pkey)
+    if jitted is None:
+        n_extra = len(kernel._extra)
+
+        def per_shard(state, n_chunks, *ex):
+            def solved(st):
+                if stop_all:
+                    loc = jnp.all(st.done).astype(jnp.int32)
+                    return jax.lax.pmin(loc, "traj") > 0
+                loc = jnp.any(st.done).astype(jnp.int32)
+                return jax.lax.pmax(loc, "traj") > 0
+
+            def cond(carry):
+                st, i = carry
+                return (i < n_chunks) & ~solved(st)
+
+            def body(carry):
+                st, i = carry
+                return core(st, *ex), i + 1
+
+            st, n = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+            return st, n * chunk_steps
+
+        sk = shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(STATE_SPECS, P()) + (P(),) * n_extra,
+            out_specs=(STATE_SPECS, P()),
+            check_vma=False,
+        )
+        jitted = jax.jit(
+            lambda state, bound, ex: sk(state, bound, *ex), donate_argnums=0
+        )
+        _SHARDED_PROGRAM_CACHE[pkey] = jitted
+    extra = kernel._extra
+    bound = jnp.int32(max_chunks)
+    return lambda state, dev=None: jitted(state, bound, extra)
+
+
 def make_sharded_chunk_runner(
     fa: FormulaArrays, zeta: float, ode: ODEConfig, chunk_steps: int, mesh: Mesh
 ):
@@ -415,14 +512,39 @@ def make_sharded_chunk_runner(
         elif on_tpu_f32 and stream_supported(fa, itemsize):
             kernel = make_stream_chunk(fa, zeta, ode, chunk_steps)
         if kernel is not None:
-            sharded_kernel = shard_map(
-                lambda state: kernel(state),
-                mesh=mesh,
-                in_specs=(STATE_SPECS,),
-                out_specs=STATE_SPECS,
-                check_vma=False,  # pallas_call outputs carry no vma info
-            )
-            return jax.jit(lambda state, dev: sharded_kernel(state), donate_argnums=0)
+            core = getattr(kernel, "_core", None)
+            if core is None:
+                sharded_kernel = shard_map(
+                    lambda state: kernel(state),
+                    mesh=mesh,
+                    in_specs=(STATE_SPECS,),
+                    out_specs=STATE_SPECS,
+                    check_vma=False,  # pallas_call outputs carry no vma info
+                )
+                return jax.jit(
+                    lambda state, dev: sharded_kernel(state), donate_argnums=0
+                )
+            # thread the incidence planes as jit ARGUMENTS and cache the
+            # program per (kernel shape key, mesh): a closure-traced
+            # wrapper bakes the planes in as constants — one remote
+            # compile per same-shaped instance (see
+            # ops/kernelctx.wrap_chunk_runner)
+            extra = kernel._extra
+            pkey = ("dp_chunk", kernel._cache_key, _mesh_key(mesh))
+            jitted = _SHARDED_PROGRAM_CACHE.get(pkey)
+            if jitted is None:
+                sk = shard_map(
+                    lambda state, *ex: core(state, *ex),
+                    mesh=mesh,
+                    in_specs=(STATE_SPECS,) + (P(),) * len(extra),
+                    out_specs=STATE_SPECS,
+                    check_vma=False,
+                )
+                jitted = jax.jit(
+                    lambda state, ex: sk(state, *ex), donate_argnums=0
+                )
+                _SHARDED_PROGRAM_CACHE[pkey] = jitted
+            return lambda state, dev: jitted(state, extra)
 
     # traj_axis only matters inside shard_map for dt_mode="shared" (the
     # GSPMD jit path below reduces over the global batch automatically)

@@ -554,3 +554,44 @@ def test_hybrid_clause_mesh_divisibility_precheck():
     config = SolverConfig(ode=ODEConfig(steps=8), batch_size=4, seed=1)
     with pytest.raises(ValueError, match="does not divide"):
         hybrid_search(fa, config, mesh=mesh)
+
+
+def test_traj_mesh_device_loop_matches_host_paced(data_dir):
+    """The trajectory-DP device loop (parallel/sharded.
+    make_sharded_multi_runner): one dispatch runs many chunks per device
+    with the stop flag pmax-reduced over the traj axis every chunk, so
+    every device exits after the same chunk. Must report the same solve,
+    steps, and assignments as host-paced chunking (a wall budget
+    disables the loop), and build ONE shared program for two same-shaped
+    formulas (planes as jit args). Forced-fused interpret mode."""
+    from odesat_tpu.cnf import normalize_cnf_variables, parse_dimacs_file
+    from odesat_tpu.models.ode import simulate_batch
+    from odesat_tpu.parallel import sharded as sh
+    from odesat_tpu.parallel.mesh import make_mesh
+    from odesat_tpu.utils.config import ODEConfig, SolverConfig
+
+    formula = parse_dimacs_file(os.path.join(data_dir, "easy.cnf"))
+    _, norm = normalize_cnf_variables(formula)
+    mesh = make_mesh(8, 1)
+    mk = lambda **kw: SolverConfig(  # noqa: E731
+        ode=ODEConfig(step_size=0.05, steps=1024, dv_strategy="fused"),
+        batch_size=16, chunk_steps=64, seed=3, **kw,
+    )
+    n0 = len(sh._SHARDED_PROGRAM_CACHE)
+    r = simulate_batch(norm, mk(), key=jax.random.PRNGKey(3), mesh=mesh)
+    r2 = simulate_batch(norm, mk(wall_clock_budget_s=1e6),
+                        key=jax.random.PRNGKey(3), mesh=mesh)
+    assert r.any_solved and r2.any_solved
+    assert r.steps == r2.steps
+    np.testing.assert_array_equal(r.assignment, r2.assignment)
+    grew = len(sh._SHARDED_PROGRAM_CACHE) - n0
+    assert grew >= 1  # the dp_multi program landed in the shared cache
+
+    # a second same-shaped formula must NOT add programs (hard.cnf has
+    # the same padded shape as easy.cnf: both aim-100-1_6)
+    formula2 = parse_dimacs_file(os.path.join(data_dir, "hard.cnf"))
+    _, norm2 = normalize_cnf_variables(formula2)
+    n1 = len(sh._SHARDED_PROGRAM_CACHE)
+    r3 = simulate_batch(norm2, mk(), key=jax.random.PRNGKey(3), mesh=mesh)
+    assert len(sh._SHARDED_PROGRAM_CACHE) == n1
+    assert not r3.any_solved and r3.steps == 1024  # UNSAT: full budget

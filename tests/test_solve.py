@@ -348,3 +348,45 @@ def test_multi_stoch_runner_core_and_fallback(data_dir):
         ref = chunk(ref)
     np.testing.assert_array_equal(np.asarray(out.v), np.asarray(ref.v))
     np.testing.assert_array_equal(np.asarray(out.done), np.asarray(ref.done))
+
+
+def test_multi_chunk_runner_adaptive_core(data_dir):
+    """The device loop must compose with the ADAPTIVE fused kernel too
+    (two RHS passes + per-trajectory dt inside the core): exact
+    accounting and state parity with the plain chunk runner."""
+    import jax.numpy as jnp
+
+    from odesat_tpu.cnf import (
+        compile_formula,
+        normalize_cnf_variables,
+        parse_dimacs_file,
+    )
+    from odesat_tpu.models.ode import (
+        formula_device,
+        init_state,
+        make_chunk_runner,
+        make_multi_chunk_runner,
+    )
+
+    formula = parse_dimacs_file(os.path.join(data_dir, "easy.cnf"))
+    _, normalized = normalize_cnf_variables(formula)
+    fa = compile_formula(normalized)
+    ode = ODEConfig(tolerance=1e-3, dv_strategy="fused")  # adaptive
+    zeta = ode.resolve_zeta(fa.density)
+    dev = formula_device(fa)
+    state0 = init_state(fa, 4, jax.random.PRNGKey(7), ode)
+    fresh = lambda: jax.tree.map(lambda x: jnp.array(np.asarray(x)), state0)  # noqa: E731
+
+    multi = make_multi_chunk_runner(fa, zeta, ode, 32, 16, core_only=True)
+    assert multi is not None
+    out, steps = multi(fresh(), dev)
+    n = int(steps) // 32
+    assert int(steps) == n * 32 and 1 <= n <= 16
+
+    chunk = make_chunk_runner(fa, zeta, ode, 32, donate=False)
+    ref = fresh()
+    for _ in range(n):
+        ref = chunk(ref, dev)
+    np.testing.assert_array_equal(np.asarray(out.v), np.asarray(ref.v))
+    np.testing.assert_array_equal(np.asarray(out.dt), np.asarray(ref.dt))
+    np.testing.assert_array_equal(np.asarray(out.done), np.asarray(ref.done))
