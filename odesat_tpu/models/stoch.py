@@ -361,7 +361,46 @@ def search(
             2 if config.ode.matmul_dtype == "bfloat16" else 4,
         )
 
+        # trajectory-only meshes get the device loop (see the
+        # single-chip branch below); clause meshes have their own
+        # whole-chunk in-kernel collective path (--shard-chunk)
+        inner_chunk = config.chunk_steps
+        DISPATCH_STEPS = min(
+            262144, max(inner_chunk, (1 << 28) // max(config.batch_size, 1))
+        )
+        use_device_loop = (
+            n_clause == 1
+            and not config.wants_chunk_cadence()
+            and config.wall_clock_budget_s is None
+            and (config.ode.steps is None or config.ode.steps > inner_chunk)
+        )
+        if use_device_loop:
+            # probe: without a shape-cached core kernel the fallback
+            # would be one huge host-paced chunk with no early exit
+            from odesat_tpu.parallel.sharded import (
+                make_sharded_multi_stoch_runner,
+            )
+
+            use_device_loop = (
+                make_sharded_multi_stoch_runner(
+                    fa, inner_chunk, 1, mesh,
+                    matmul_dtype=config.ode.matmul_dtype,
+                )
+                is not None
+            )
+
         def make_runner(n):
+            if use_device_loop and n > inner_chunk:
+                from odesat_tpu.parallel.sharded import (
+                    make_sharded_multi_stoch_runner,
+                )
+
+                multi = make_sharded_multi_stoch_runner(
+                    fa, inner_chunk, n // inner_chunk, mesh,
+                    matmul_dtype=config.ode.matmul_dtype,
+                )
+                if multi is not None:
+                    return multi
             return make_sharded_stoch_runner(
                 fa,
                 n,
@@ -388,6 +427,16 @@ def search(
             and config.wall_clock_budget_s is None
             and (config.ode.steps is None or config.ode.steps > inner_chunk)
         )
+        if use_device_loop:
+            # probe: the scan path has no shape-cached core, and a big
+            # dispatch slice without the loop would be one huge chunk
+            # with no early exit
+            use_device_loop = (
+                make_multi_stoch_runner(
+                    fa, inner_chunk, 1, matmul_dtype=config.ode.matmul_dtype
+                )
+                is not None
+            )
 
         def make_runner(n):
             if use_device_loop and n > inner_chunk:
@@ -443,7 +492,7 @@ def search(
     from odesat_tpu.utils.checkpoint import mesh_layout_of
 
     dispatch_chunk = None
-    if mesh is None and use_device_loop:
+    if use_device_loop:  # defined by both the mesh and single-chip branches
         dispatch_chunk = DISPATCH_STEPS
         if config.ode.steps is not None:
             dispatch_chunk = min(dispatch_chunk, config.ode.steps)

@@ -767,12 +767,37 @@ def make_sharded_stoch_runner(
         fa, chunk_steps, matmul_dtype=matmul_dtype, donate=False
     )
 
+    specs = StochState(v=P("traj"), xl=P("traj"), done=P("traj"), key=P("traj"))
+    core = getattr(inner, "_core", None)
+    if core is not None:
+        # planes as jit args + per-(shape, mesh) program cache — the
+        # same constants-bake fix as the ODE DP branch above
+        extra = inner._extra
+        pkey = ("stoch_dp_chunk", inner._cache_key, _mesh_key(mesh))
+        jitted = _SHARDED_PROGRAM_CACHE.get(pkey)
+        if jitted is None:
+
+            def local_core(state: StochState, *ex) -> StochState:
+                st = StochState(state.v, state.xl, state.done, state.key[0])
+                out = core(st, *ex)
+                return StochState(out.v, out.xl, out.done, out.key[None])
+
+            sk = shard_map(
+                local_core,
+                mesh=mesh,
+                in_specs=(specs,) + (P(),) * len(extra),
+                out_specs=specs,
+                check_vma=False,
+            )
+            jitted = jax.jit(lambda state, ex: sk(state, *ex), donate_argnums=0)
+            _SHARDED_PROGRAM_CACHE[pkey] = jitted
+        return lambda state: jitted(state, extra)
+
     def local(state: StochState) -> StochState:
         st = StochState(state.v, state.xl, state.done, state.key[0])
         out = inner(st)
         return StochState(out.v, out.xl, out.done, out.key[None])
 
-    specs = StochState(v=P("traj"), xl=P("traj"), done=P("traj"), key=P("traj"))
     sharded = shard_map(
         local,
         mesh=mesh,
@@ -781,6 +806,68 @@ def make_sharded_stoch_runner(
         check_vma=False,  # pallas_call outputs carry no vma info
     )
     return jax.jit(sharded, donate_argnums=0)
+
+
+def make_sharded_multi_stoch_runner(
+    fa: FormulaArrays,
+    chunk_steps: int,
+    max_chunks: int,
+    mesh: Mesh,
+    matmul_dtype: str = "float32",
+    fused: str = "auto",
+):
+    """Stoch twin of make_sharded_multi_runner for trajectory-only
+    meshes: up to ``max_chunks`` kernel chunks per dispatch inside
+    shard_map, the stop flag pmax-reduced over ``traj`` every chunk.
+    Returns ``state -> (state, steps_advanced)`` or None (scan path or
+    clause mesh — the caller keeps host-paced chunks)."""
+    import jax.numpy as jnp
+
+    from odesat_tpu.models.stoch import StochState, make_stoch_chunk_runner
+
+    if mesh.shape.get("clause", 1) > 1:
+        return None
+    inner = make_stoch_chunk_runner(
+        fa, chunk_steps, fused=fused, matmul_dtype=matmul_dtype, donate=False
+    )
+    core = getattr(inner, "_core", None)
+    if core is None:
+        return None
+    specs = StochState(v=P("traj"), xl=P("traj"), done=P("traj"), key=P("traj"))
+    pkey = ("stoch_dp_multi", inner._cache_key, _mesh_key(mesh))
+    jitted = _SHARDED_PROGRAM_CACHE.get(pkey)
+    if jitted is None:
+        n_extra = len(inner._extra)
+
+        def per_shard(state: StochState, n_chunks, *ex):
+            def cond(carry):
+                st, i = carry
+                loc = jnp.any(st.done).astype(jnp.int32)
+                return (i < n_chunks) & ~(jax.lax.pmax(loc, "traj") > 0)
+
+            def body(carry):
+                st, i = carry
+                return core(st, *ex), i + 1
+
+            st0 = StochState(state.v, state.xl, state.done, state.key[0])
+            st, n = jax.lax.while_loop(cond, body, (st0, jnp.int32(0)))
+            out = StochState(st.v, st.xl, st.done, st.key[None])
+            return out, n * chunk_steps
+
+        sk = shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(specs, P()) + (P(),) * n_extra,
+            out_specs=(specs, P()),
+            check_vma=False,
+        )
+        jitted = jax.jit(
+            lambda state, bound, ex: sk(state, bound, *ex), donate_argnums=0
+        )
+        _SHARDED_PROGRAM_CACHE[pkey] = jitted
+    extra = inner._extra
+    bound = jnp.int32(max_chunks)
+    return lambda state: jitted(state, bound, extra)
 
 
 def shard_stoch_inputs(state, mesh: Mesh):

@@ -595,3 +595,52 @@ def test_traj_mesh_device_loop_matches_host_paced(data_dir):
     r3 = simulate_batch(norm2, mk(), key=jax.random.PRNGKey(3), mesh=mesh)
     assert len(sh._SHARDED_PROGRAM_CACHE) == n1
     assert not r3.any_solved and r3.steps == 1024  # UNSAT: full budget
+
+
+def test_traj_mesh_stoch_device_loop_matches_host_paced(data_dir):
+    """Stoch twin of the DP device-loop parity test: same chains, steps,
+    and flip stream as host-paced chunking (the per-device counter-based
+    PRNG is a pure function of state, so chunk composition cannot change
+    it). Forced-fused interpret mode via make_sharded_multi_stoch_runner;
+    the auto path stays host-paced off-TPU (probe returns None)."""
+    import jax.numpy as jnp
+
+    from odesat_tpu.cnf import compile_formula, normalize_cnf_variables, parse_dimacs_file
+    from odesat_tpu.models.stoch import StochState, init_stoch_state
+    from odesat_tpu.parallel.mesh import make_mesh
+    from odesat_tpu.parallel.sharded import (
+        make_sharded_multi_stoch_runner,
+        make_sharded_stoch_runner,
+        shard_stoch_inputs,
+    )
+
+    formula = parse_dimacs_file(os.path.join(data_dir, "hard.cnf"))
+    _, norm = normalize_cnf_variables(formula)
+    fa = compile_formula(norm)
+    mesh = make_mesh(8, 1)
+
+    # auto: no core kernel off-TPU -> caller keeps host-paced chunks
+    assert make_sharded_multi_stoch_runner(fa, 16, 4, mesh) is None
+
+    multi = make_sharded_multi_stoch_runner(fa, 16, 4, mesh, fused="on")
+    assert multi is not None
+    key = jax.random.PRNGKey(5)
+    st = init_stoch_state(fa, 16, key)
+    st = StochState(st.v, st.xl, st.done, jax.random.split(key, 8))
+    st = shard_stoch_inputs(st, mesh)
+    fresh = lambda: jax.tree.map(lambda x: jnp.array(np.asarray(x)), st)  # noqa: E731
+
+    out, steps = multi(fresh())
+    n = int(steps) // 16
+    assert int(steps) == n * 16 and 1 <= n <= 4
+
+    # host-paced reference: same chunk kernel, host loop. The sharded
+    # chunk runner path is the scan one off-TPU, so compose the fused
+    # kernel per chunk through the same shard_map machinery instead.
+    ref = fresh()
+    chunk = make_sharded_multi_stoch_runner(fa, 16, 1, mesh, fused="on")
+    for _ in range(n):
+        ref, adv = chunk(ref)
+        assert int(adv) == 16
+    np.testing.assert_array_equal(np.asarray(out.v), np.asarray(ref.v))
+    np.testing.assert_array_equal(np.asarray(out.done), np.asarray(ref.done))
