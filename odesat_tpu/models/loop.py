@@ -24,6 +24,38 @@ import time
 GROW_AFTER = 8
 GROW_CAP = 32768
 
+# per-dispatch traj-step target for the device-loop dispatch structure:
+# one dispatch stays ~1 s so the host keeps its logging/interrupt cadence
+DISPATCH_TRAJ_STEPS = 1 << 28
+DISPATCH_STEPS_CAP = 262144
+
+
+def device_dispatch_plan(config, steps_budget):
+    """Shared gate + sizing for the device-loop dispatch structure used
+    by both engines (single-chip and trajectory-DP meshes). Returns
+    ``(eligible, dispatch_steps)``: ``eligible`` is the config-level
+    gate (callers AND it with their own probe — mesh axes, shape-cached
+    core availability); ``dispatch_steps`` is the nominal per-dispatch
+    slice — never below ``config.chunk_steps`` (the user's inner-chunk
+    choice always stands), scaled down with batch size so one dispatch
+    stays ~1 s, and clipped to the step budget."""
+    inner = config.chunk_steps
+    eligible = (
+        not config.wants_chunk_cadence()
+        # a wall-clock budget is only checked between dispatches: a
+        # full-slice dispatch could overshoot it on a slow instance
+        and config.wall_clock_budget_s is None
+        and (steps_budget is None or steps_budget > inner)
+    )
+    dispatch = max(
+        inner,
+        min(DISPATCH_STEPS_CAP,
+            DISPATCH_TRAJ_STEPS // max(config.batch_size, 1)),
+    )
+    if steps_budget is not None:
+        dispatch = min(dispatch, steps_budget)
+    return eligible, dispatch
+
 
 def drive_chunks(
     state,

@@ -626,26 +626,19 @@ def simulate_batch(
     # dispatch. Used at every batch size; the per-dispatch slice scales
     # down with B so one dispatch stays ~1 s (the host regains control —
     # logging, KeyboardInterrupt — at that cadence).
+    from odesat_tpu.models.loop import device_dispatch_plan
+
     chunk_steps = config.chunk_steps
-    DISPATCH_STEPS = min(
-        262144, max(chunk_steps, (1 << 28) // max(config.batch_size, 1))
-    )
+    dispatch_ok, DISPATCH_STEPS = device_dispatch_plan(config, ode.steps)
     use_device_loop = (
         mesh is None
         and harvest is None  # the oracle exit needs host control per chunk
-        and not config.wants_chunk_cadence()
-        # a wall-clock budget is only checked between dispatches: a
-        # full-slice dispatch could overshoot it on a slow instance,
-        # so budgeted runs keep host-paced chunks
-        and config.wall_clock_budget_s is None
-        and (ode.steps is None or ode.steps > chunk_steps)
+        and dispatch_ok
     )
 
     if use_device_loop:
         inner_chunk = chunk_steps
         chunk_steps = DISPATCH_STEPS  # nominal per-dispatch budget slice
-        if ode.steps is not None:
-            chunk_steps = min(chunk_steps, ode.steps)
 
         def make_runner(n):
             if n <= inner_chunk:
@@ -673,18 +666,13 @@ def simulate_batch(
         # the traj axis every inner chunk (pmax over ICI), so a pod run
         # pays one host round trip per dispatch instead of per chunk
         mesh_loop = (
-            harvest is None
-            and not config.wants_chunk_cadence()
-            and config.wall_clock_budget_s is None
-            and (ode.steps is None or ode.steps > chunk_steps)
+            harvest is None and dispatch_ok
         ) and make_sharded_multi_runner(
             fa, zeta, ode, chunk_steps, 1, mesh, stop_on
         ) is not None
         if mesh_loop:
             inner_chunk = chunk_steps
             chunk_steps = DISPATCH_STEPS
-            if ode.steps is not None:
-                chunk_steps = min(chunk_steps, ode.steps)
 
             def make_runner(n):
                 if n > inner_chunk:

@@ -364,16 +364,11 @@ def search(
         # trajectory-only meshes get the device loop (see the
         # single-chip branch below); clause meshes have their own
         # whole-chunk in-kernel collective path (--shard-chunk)
+        from odesat_tpu.models.loop import device_dispatch_plan
+
         inner_chunk = config.chunk_steps
-        DISPATCH_STEPS = min(
-            262144, max(inner_chunk, (1 << 28) // max(config.batch_size, 1))
-        )
-        use_device_loop = (
-            n_clause == 1
-            and not config.wants_chunk_cadence()
-            and config.wall_clock_budget_s is None
-            and (config.ode.steps is None or config.ode.steps > inner_chunk)
-        )
+        dispatch_ok, DISPATCH_STEPS = device_dispatch_plan(config, config.ode.steps)
+        use_device_loop = n_clause == 1 and dispatch_ok
         if use_device_loop:
             # probe: without a shape-cached core kernel the fallback
             # would be one huge host-paced chunk with no early exit
@@ -418,14 +413,11 @@ def search(
         # early-exit window stays ONE inner chunk. Scan-path runners
         # (no core) keep host-paced chunks, which also sidesteps the
         # bake-planes-as-constants recompile trap.
+        from odesat_tpu.models.loop import device_dispatch_plan
+
         inner_chunk = config.chunk_steps
-        DISPATCH_STEPS = min(
-            262144, max(inner_chunk, (1 << 28) // max(config.batch_size, 1))
-        )
-        use_device_loop = (
-            not config.wants_chunk_cadence()
-            and config.wall_clock_budget_s is None
-            and (config.ode.steps is None or config.ode.steps > inner_chunk)
+        use_device_loop, DISPATCH_STEPS = device_dispatch_plan(
+            config, config.ode.steps
         )
         if use_device_loop:
             # probe: the scan path has no shape-cached core, and a big
@@ -491,11 +483,10 @@ def search(
     from odesat_tpu.models.loop import drive_chunks
     from odesat_tpu.utils.checkpoint import mesh_layout_of
 
-    dispatch_chunk = None
-    if use_device_loop:  # defined by both the mesh and single-chip branches
-        dispatch_chunk = DISPATCH_STEPS
-        if config.ode.steps is not None:
-            dispatch_chunk = min(dispatch_chunk, config.ode.steps)
+    # DISPATCH_STEPS is already clipped to the budget by
+    # device_dispatch_plan; use_device_loop is defined by both the mesh
+    # and single-chip branches
+    dispatch_chunk = DISPATCH_STEPS if use_device_loop else None
     state, steps_run, wall_time = drive_chunks(
         state,
         make_runner,

@@ -818,36 +818,13 @@ double candidate_ratio(const Pre& st, int32_t var, std::vector<Clause>* res_out,
   }
   const size_t n = idx.size();
 
-  // 3. forward subsumption, rarest-literal probing: iterate potential
-  //    subsumers ascending by size and probe only the rarest literal's
-  //    occurrence list (a superset of s contains every literal of s, so
-  //    it appears in all of s's lists). Dead subsumers are skipped:
-  //    strict-subset subsumption is transitive (s' < s < c), so their
-  //    victims fall to an earlier, still-alive ancestor — the final set
-  //    is identical to the all-pairs sweep and independent of the
-  //    processing order. The backward per-clause formulation this
-  //    replaced paid Sum_c Sum_l |occ(l)| over heavily-shared literals
-  //    (11.3s of the n=10k preprocess).
   size_t survivors = n;
   if (StageTimer::on()) { g_n_all += (long)n_all; g_n_uniq += (long)n; }
-  // 3. forward subsumption, rarest-literal probing: iterate potential
-  //    subsumers ascending by size and probe only the rarest literal's
-  //    occurrence list (a superset of s contains every literal of s, so
-  //    it appears in all of s's lists). Dead subsumers are skipped:
-  //    strict-subset subsumption is transitive (s' < s < c), so their
-  //    victims fall to an earlier, still-alive ancestor -- the final set
-  //    is identical to the all-pairs sweep and independent of the
-  //    processing order. Measured on n=10k random 3-SAT, only ~381 of
-  //    6.6M generated resolvents are ever subsumed, so the sweep is
-  //    structured to prove "nothing to do" as cheaply as possible:
-  //    * all-one-size scans exit immediately (a strict subset needs a
-  //      strictly smaller subsumer);
-  //    * occurrence lists store by-size RANKS, so a subsumer of size z
-  //      probes only the list suffix holding sizes > z (the plain-index
-  //      formulation walked 95M entries to size-filter 73M of them);
-  //    * a 64-bit literal bloom mask per resolvent (bits l&63, OR'd
-  //      during the counting pass) rejects nearly every survivor pair
-  //      before the std::includes touches the literal data.
+  // 3. self-subsumption of the resolvent set via forward_subsume_flat
+  //    (rationale and structure documented at the function definition).
+  //    All-one-size scans exit immediately — a strict subset needs a
+  //    strictly smaller subsumer — and the min-size count feeds the
+  //    stage-2 can't-win prune below.
   auto size_of = [&](uint32_t p) { return offs[idx[p] + 1] - offs[idx[p]]; };
   uint32_t max_sz = 0, min_sz = 0, n_min_cnt = 0;
   if (n >= 2) {

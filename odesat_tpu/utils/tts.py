@@ -147,13 +147,7 @@ def solve_exact(
 
     dev = formula_device(fa, matmul_dtype=ode.matmul_dtype)
     state = init_state(fa, batch, key, ode)
-    # warm the solve-chunk compile OUTSIDE the timed region (bisection
-    # runners compile lazily during the untimed bisection phase): one
-    # throwaway dispatch on a disposable state
     import jax as _jax
-
-    n0 = min(chunk, budget)
-    sync(runner(n0)(init_state(fa, batch, _jax.random.PRNGKey(0), ode), dev))
 
     def finish(cur, final, base, n, chunks, wall):
         # bisect inside the final chunk: smallest k in (0, n] with
@@ -201,9 +195,12 @@ def solve_exact(
         )
     if multi is not None:
         copy = lambda st: jax.tree.map(jnp.copy, st)  # noqa: E731
-        # warm the while program off the clock (the dispatch donates its
-        # input, so the warm-up runs on a disposable copy)
-        out, _ = multi(init_state(fa, batch, _jax.random.PRNGKey(0), ode))
+        # warm the while program off the clock at ONE chunk of work: the
+        # bound is a traced scalar, so this compiles the identical
+        # program the timed full-bound dispatch reuses (warming with the
+        # full bound would run the whole budget on the throwaway state)
+        warm = make_multi_chunk_runner(fa, zeta, ode, chunk, 1, core_only=True)
+        out, _ = warm(init_state(fa, batch, _jax.random.PRNGKey(0), ode))
         sync(out)
         t0 = time.perf_counter()
         out, adv = multi(copy(state))
@@ -234,6 +231,11 @@ def solve_exact(
             prev = state
         return finish(prev, out, steps - chunk, chunk, chunks, wall)
 
+    # host-paced path: warm the solve-chunk compile OUTSIDE the timed
+    # region (bisection runners compile lazily during the untimed
+    # bisection phase) with one throwaway dispatch
+    n0 = min(chunk, budget)
+    sync(runner(n0)(init_state(fa, batch, _jax.random.PRNGKey(0), ode), dev))
     steps = 0
     chunks = 0
     prev = state
