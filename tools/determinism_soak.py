@@ -192,6 +192,45 @@ def main():
         ("v", "xl", "done"),
     )
 
+    # round-5 device-loop dispatch: the on-device multi-chunk while_loop
+    # around the fused kernels (ODE + stoch) — same-seed repeats must be
+    # bit-identical INCLUDING the traced chunk-bound short-circuit
+    from odesat_tpu.models.ode import make_multi_chunk_runner
+    from odesat_tpu.models.stoch import make_multi_stoch_runner
+
+    ode_dl = ODEConfig(step_size=0.01, matmul_dtype="bfloat16")
+    dev_aim = formula_device(fa_aim, matmul_dtype="bfloat16")
+    multi = make_multi_chunk_runner(fa_aim, 0.001, ode_dl, 250, 8,
+                                    core_only=True)
+    assert multi is not None
+
+    def ode_device_loop(st):
+        out, _ = multi(st, dev_aim)
+        return out
+
+    ok &= run_repeats(
+        "device-loop ODE (aim100, 8x250 steps)",
+        lambda: init_state(fa_aim, 2048, jax.random.PRNGKey(7), ode_dl),
+        ode_device_loop,
+        repeats,
+        ("v", "xs", "xl", "dt", "done"),
+    )
+
+    smulti = make_multi_stoch_runner(fa_aim, 250, 8, matmul_dtype="bfloat16")
+    assert smulti is not None
+
+    def stoch_device_loop(st):
+        out, _ = smulti(st)
+        return out
+
+    ok &= run_repeats(
+        "device-loop stoch (aim100, 8x250 steps)",
+        lambda: init_stoch_state(fa_aim, 2048, jax.random.PRNGKey(7)),
+        stoch_device_loop,
+        repeats,
+        ("v", "xl", "done"),
+    )
+
     print("SOAK", "PASSED" if ok else "FAILED")
     sys.exit(0 if ok else 1)
 
