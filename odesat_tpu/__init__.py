@@ -36,7 +36,7 @@ from odesat_tpu.preprocess import preprocess_formula, reconstruct_witness
 from odesat_tpu.utils.cache import enable_compilation_cache
 from odesat_tpu.utils.config import ODEConfig, SolverConfig
 
-__version__ = "0.2.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "CNFFormula",
