@@ -657,19 +657,24 @@ def simulate_batch(
             make_sharded_chunk_runner,
             make_sharded_multi_runner,
             shard_inputs,
+            sharded_multi_supported,
         )
 
         state, dev = shard_inputs(state, dev, mesh)
+
+        def plain_runner(n):
+            r = make_sharded_chunk_runner(fa, zeta, ode, n, mesh)
+            return lambda st: r(st, dev)
 
         # trajectory-only (pure DP) meshes get the same device-loop
         # dispatch as the single-chip path: the stop flag reduces over
         # the traj axis every inner chunk (pmax over ICI), so a pod run
         # pays one host round trip per dispatch instead of per chunk
         mesh_loop = (
-            harvest is None and dispatch_ok
-        ) and make_sharded_multi_runner(
-            fa, zeta, ode, chunk_steps, 1, mesh, stop_on
-        ) is not None
+            harvest is None
+            and dispatch_ok
+            and sharded_multi_supported(fa, ode, mesh)
+        )
         if mesh_loop:
             inner_chunk = chunk_steps
             chunk_steps = DISPATCH_STEPS
@@ -682,12 +687,9 @@ def simulate_batch(
                     )
                     if m is not None:
                         return m
-                r = make_sharded_chunk_runner(fa, zeta, ode, n, mesh)
-                return lambda st: r(st, dev)
+                return plain_runner(n)
         else:
-            def make_runner(n):
-                r = make_sharded_chunk_runner(fa, zeta, ode, n, mesh)
-                return lambda st: r(st, dev)
+            make_runner = plain_runner
 
     def should_stop(st, done):
         # harvest first: the oracle-verified exit (and its progress

@@ -235,6 +235,28 @@ def make_stoch_chunk_runner(
     return jax.jit(run_chunk, donate_argnums=0 if donate else ())
 
 
+def stoch_core_supported(
+    fa: FormulaArrays, matmul_dtype: str = "float32", fused: str = "auto"
+) -> bool:
+    """Build-free check that make_stoch_chunk_runner would pick a
+    shape-cached Pallas kernel (fused or streaming) over the scan path —
+    mirrors its kernel ladder without materializing incidence planes,
+    so device-loop gates can probe per solve for free."""
+    if fused == "off":
+        return False
+    if fused != "on" and jax.default_backend() != "tpu":
+        return False
+    from odesat_tpu.ops.stoch_pallas import (
+        stoch_fused_supported,
+        stoch_stream_supported,
+    )
+
+    itemsize = 2 if matmul_dtype == "bfloat16" else 4
+    return bool(
+        stoch_fused_supported(fa) or stoch_stream_supported(fa, itemsize)
+    )
+
+
 # One compiled while program per static shape: the chunk kernel's core
 # traces with its incidence planes as jit ARGUMENTS (see
 # ops/kernelctx.wrap_chunk_runner and the ODE twin in models/ode.py),
@@ -333,6 +355,13 @@ def search(
         seed = config.seed if config.seed is not None else int.from_bytes(__import__("os").urandom(4), "little")
         key = jax.random.PRNGKey(seed)
 
+    # one dispatch plan for both branches (models/loop.py): the gate is
+    # ANDed with each branch's own core-availability probe below
+    from odesat_tpu.models.loop import device_dispatch_plan
+
+    inner_chunk = config.chunk_steps
+    use_device_loop, DISPATCH_STEPS = device_dispatch_plan(config, config.ode.steps)
+
     if mesh is not None:
         from odesat_tpu.parallel.sharded import (
             make_sharded_stoch_runner,
@@ -363,26 +392,15 @@ def search(
 
         # trajectory-only meshes get the device loop (see the
         # single-chip branch below); clause meshes have their own
-        # whole-chunk in-kernel collective path (--shard-chunk)
-        from odesat_tpu.models.loop import device_dispatch_plan
+        # whole-chunk in-kernel collective path (--shard-chunk).
+        # Without a shape-cached core kernel the fallback would be one
+        # huge host-paced chunk with no early exit, so AND with the
+        # build-free eligibility check.
+        from odesat_tpu.parallel.sharded import sharded_multi_stoch_supported
 
-        inner_chunk = config.chunk_steps
-        dispatch_ok, DISPATCH_STEPS = device_dispatch_plan(config, config.ode.steps)
-        use_device_loop = n_clause == 1 and dispatch_ok
-        if use_device_loop:
-            # probe: without a shape-cached core kernel the fallback
-            # would be one huge host-paced chunk with no early exit
-            from odesat_tpu.parallel.sharded import (
-                make_sharded_multi_stoch_runner,
-            )
-
-            use_device_loop = (
-                make_sharded_multi_stoch_runner(
-                    fa, inner_chunk, 1, mesh,
-                    matmul_dtype=config.ode.matmul_dtype,
-                )
-                is not None
-            )
+        use_device_loop = use_device_loop and sharded_multi_stoch_supported(
+            fa, mesh, matmul_dtype=config.ode.matmul_dtype
+        )
 
         def make_runner(n):
             if use_device_loop and n > inner_chunk:
@@ -412,23 +430,13 @@ def search(
         # round trips amortize over the whole dispatch while the
         # early-exit window stays ONE inner chunk. Scan-path runners
         # (no core) keep host-paced chunks, which also sidesteps the
-        # bake-planes-as-constants recompile trap.
-        from odesat_tpu.models.loop import device_dispatch_plan
-
-        inner_chunk = config.chunk_steps
-        use_device_loop, DISPATCH_STEPS = device_dispatch_plan(
-            config, config.ode.steps
+        # bake-planes-as-constants recompile trap (the scan path has no
+        # shape-cached core, and a big dispatch slice without the loop
+        # would be one huge chunk with no early exit — hence the
+        # build-free core check).
+        use_device_loop = use_device_loop and stoch_core_supported(
+            fa, matmul_dtype=config.ode.matmul_dtype
         )
-        if use_device_loop:
-            # probe: the scan path has no shape-cached core, and a big
-            # dispatch slice without the loop would be one huge chunk
-            # with no early exit
-            use_device_loop = (
-                make_multi_stoch_runner(
-                    fa, inner_chunk, 1, matmul_dtype=config.ode.matmul_dtype
-                )
-                is not None
-            )
 
         def make_runner(n):
             if use_device_loop and n > inner_chunk:

@@ -293,6 +293,42 @@ def _mesh_key(mesh: Mesh):
     )
 
 
+def _cache_program(pkey, build):
+    jitted = _SHARDED_PROGRAM_CACHE.get(pkey)
+    if jitted is None:
+        jitted = build()
+        if len(_SHARDED_PROGRAM_CACHE) >= 128:  # shape-diverse sweep backstop
+            _SHARDED_PROGRAM_CACHE.clear()
+        _SHARDED_PROGRAM_CACHE[pkey] = jitted
+    return jitted
+
+
+def sharded_multi_supported(fa: FormulaArrays, ode: ODEConfig, mesh: Mesh) -> bool:
+    """Build-free eligibility check for make_sharded_multi_runner — the
+    same kernel-selection gates WITHOUT materializing the incidence
+    planes, so callers can probe per solve without paying a plane
+    construction + device transfer just to learn the answer."""
+    if mesh.shape.get("clause", 1) > 1:
+        return False
+    if ode.dt_mode == "shared" and ode.step_size is None:
+        return False
+    if ode.dv_strategy not in ("auto", "fused", "stream"):
+        return False
+    from odesat_tpu.ops.fused_pallas import fused_supported
+    from odesat_tpu.ops.stream_pallas import stream_supported
+
+    itemsize = 2 if ode.matmul_dtype == "bfloat16" else 4
+    if ode.dv_strategy == "fused":
+        return fused_supported(fa, itemsize)
+    if ode.dv_strategy == "stream":
+        return stream_supported(fa, itemsize)
+    return (
+        jax.default_backend() == "tpu"
+        and ode.dtype == "float32"
+        and (fused_supported(fa, itemsize) or stream_supported(fa, itemsize))
+    )
+
+
 def make_sharded_multi_runner(
     fa: FormulaArrays,
     zeta: float,
@@ -338,8 +374,8 @@ def make_sharded_multi_runner(
 
     stop_all = stop_on == "all"
     pkey = ("dp_multi", kernel._cache_key, stop_on, _mesh_key(mesh))
-    jitted = _SHARDED_PROGRAM_CACHE.get(pkey)
-    if jitted is None:
+
+    def build():
         n_extra = len(kernel._extra)
 
         def per_shard(state, n_chunks, *ex):
@@ -368,10 +404,11 @@ def make_sharded_multi_runner(
             out_specs=(STATE_SPECS, P()),
             check_vma=False,
         )
-        jitted = jax.jit(
+        return jax.jit(
             lambda state, bound, ex: sk(state, bound, *ex), donate_argnums=0
         )
-        _SHARDED_PROGRAM_CACHE[pkey] = jitted
+
+    jitted = _cache_program(pkey, build)
     extra = kernel._extra
     bound = jnp.int32(max_chunks)
     return lambda state, dev=None: jitted(state, bound, extra)
@@ -531,8 +568,8 @@ def make_sharded_chunk_runner(
             # ops/kernelctx.wrap_chunk_runner)
             extra = kernel._extra
             pkey = ("dp_chunk", kernel._cache_key, _mesh_key(mesh))
-            jitted = _SHARDED_PROGRAM_CACHE.get(pkey)
-            if jitted is None:
+
+            def build():
                 sk = shard_map(
                     lambda state, *ex: core(state, *ex),
                     mesh=mesh,
@@ -540,10 +577,11 @@ def make_sharded_chunk_runner(
                     out_specs=STATE_SPECS,
                     check_vma=False,
                 )
-                jitted = jax.jit(
+                return jax.jit(
                     lambda state, ex: sk(state, *ex), donate_argnums=0
                 )
-                _SHARDED_PROGRAM_CACHE[pkey] = jitted
+
+            jitted = _cache_program(pkey, build)
             return lambda state, dev: jitted(state, extra)
 
     # traj_axis only matters inside shard_map for dt_mode="shared" (the
@@ -774,9 +812,8 @@ def make_sharded_stoch_runner(
         # same constants-bake fix as the ODE DP branch above
         extra = inner._extra
         pkey = ("stoch_dp_chunk", inner._cache_key, _mesh_key(mesh))
-        jitted = _SHARDED_PROGRAM_CACHE.get(pkey)
-        if jitted is None:
 
+        def build():
             def local_core(state: StochState, *ex) -> StochState:
                 st = StochState(state.v, state.xl, state.done, state.key[0])
                 out = core(st, *ex)
@@ -789,8 +826,9 @@ def make_sharded_stoch_runner(
                 out_specs=specs,
                 check_vma=False,
             )
-            jitted = jax.jit(lambda state, ex: sk(state, *ex), donate_argnums=0)
-            _SHARDED_PROGRAM_CACHE[pkey] = jitted
+            return jax.jit(lambda state, ex: sk(state, *ex), donate_argnums=0)
+
+        jitted = _cache_program(pkey, build)
         return lambda state: jitted(state, extra)
 
     def local(state: StochState) -> StochState:
@@ -806,6 +844,19 @@ def make_sharded_stoch_runner(
         check_vma=False,  # pallas_call outputs carry no vma info
     )
     return jax.jit(sharded, donate_argnums=0)
+
+
+def sharded_multi_stoch_supported(
+    fa: FormulaArrays, mesh: Mesh, matmul_dtype: str = "float32",
+    fused: str = "auto",
+) -> bool:
+    """Build-free eligibility twin of sharded_multi_supported for the
+    stoch engine (mirrors make_stoch_chunk_runner's kernel ladder)."""
+    from odesat_tpu.models.stoch import stoch_core_supported
+
+    return mesh.shape.get("clause", 1) == 1 and stoch_core_supported(
+        fa, matmul_dtype=matmul_dtype, fused=fused
+    )
 
 
 def make_sharded_multi_stoch_runner(
@@ -835,8 +886,8 @@ def make_sharded_multi_stoch_runner(
         return None
     specs = StochState(v=P("traj"), xl=P("traj"), done=P("traj"), key=P("traj"))
     pkey = ("stoch_dp_multi", inner._cache_key, _mesh_key(mesh))
-    jitted = _SHARDED_PROGRAM_CACHE.get(pkey)
-    if jitted is None:
+
+    def build():
         n_extra = len(inner._extra)
 
         def per_shard(state: StochState, n_chunks, *ex):
@@ -861,10 +912,11 @@ def make_sharded_multi_stoch_runner(
             out_specs=(specs, P()),
             check_vma=False,
         )
-        jitted = jax.jit(
+        return jax.jit(
             lambda state, bound, ex: sk(state, bound, *ex), donate_argnums=0
         )
-        _SHARDED_PROGRAM_CACHE[pkey] = jitted
+
+    jitted = _cache_program(pkey, build)
     extra = inner._extra
     bound = jnp.int32(max_chunks)
     return lambda state: jitted(state, bound, extra)
