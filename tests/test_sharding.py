@@ -644,3 +644,27 @@ def test_traj_mesh_stoch_device_loop_matches_host_paced(data_dir):
         assert int(adv) == 16
     np.testing.assert_array_equal(np.asarray(out.v), np.asarray(ref.v))
     np.testing.assert_array_equal(np.asarray(out.done), np.asarray(ref.done))
+
+
+def test_traj_mesh_device_loop_adaptive(data_dir):
+    """The mesh device loop composes with the ADAPTIVE fused core too
+    (two RHS passes + per-trajectory dt inside the kernel, error norm in
+    the carry): parity with host-paced chunking on the same mesh."""
+    from odesat_tpu.cnf import normalize_cnf_variables, parse_dimacs_file
+    from odesat_tpu.models.ode import simulate_batch
+    from odesat_tpu.parallel.mesh import make_mesh
+    from odesat_tpu.utils.config import ODEConfig, SolverConfig
+
+    formula = parse_dimacs_file(os.path.join(data_dir, "easy.cnf"))
+    _, norm = normalize_cnf_variables(formula)
+    mesh = make_mesh(8, 1)
+    mk = lambda **kw: SolverConfig(  # noqa: E731
+        ode=ODEConfig(tolerance=1e-3, steps=1024, dv_strategy="fused"),
+        batch_size=16, chunk_steps=64, seed=4, **kw,
+    )
+    r = simulate_batch(norm, mk(), key=jax.random.PRNGKey(4), mesh=mesh)
+    r2 = simulate_batch(norm, mk(wall_clock_budget_s=1e6),
+                        key=jax.random.PRNGKey(4), mesh=mesh)
+    assert r.any_solved == r2.any_solved
+    assert r.steps == r2.steps
+    np.testing.assert_array_equal(r.assignment, r2.assignment)
