@@ -138,16 +138,11 @@ def is_available() -> bool:
 
 def _encode(formula: CNFFormula):
     """Formula -> (flat encoded literals, offsets). lit = (var<<1)|neg."""
-    lits = []
-    offsets = [0]
-    for clause in formula.clauses:
-        for lit in clause:
-            lits.append((lit.variable << 1) | int(lit.is_negated))
-        offsets.append(len(lits))
-    return (
-        np.asarray(lits, dtype=np.int32),
-        np.asarray(offsets, dtype=np.int64),
-    )
+    clauses = formula.clauses
+    lits = [(lit.variable << 1) | lit.is_negated for c in clauses for lit in c]
+    offsets = np.zeros(len(clauses) + 1, dtype=np.int64)
+    np.cumsum([len(c) for c in clauses], out=offsets[1:])
+    return np.asarray(lits, dtype=np.int32), offsets
 
 
 def _decode(lits: np.ndarray, offsets: np.ndarray, varnum: int) -> CNFFormula:
