@@ -156,3 +156,36 @@ def test_chunk_growth_respects_wall_budget():
         # at ~0.02 s per 10-step chunk the full budget never supports the
         # uncapped 16x jump to 160 steps, let alone GROW_CAP
         assert grown < 160
+
+
+def test_device_dispatch_plan():
+    """The shared device-loop gate + sizing (models/loop.py): the user's
+    chunk_steps always stands (a review found the min/max ordering once
+    clamped below it), the slice scales down with batch so one dispatch
+    stays ~1s, and budgets/cadences/wall-clocks gate eligibility."""
+    from odesat_tpu.models.loop import device_dispatch_plan
+    from odesat_tpu.utils.config import ODEConfig, SolverConfig
+
+    mk = lambda **kw: SolverConfig(ode=ODEConfig(step_size=0.01), **kw)  # noqa: E731
+
+    ok, d = device_dispatch_plan(mk(batch_size=1, chunk_steps=256), None)
+    assert ok and d == 262144  # capped for tiny batches
+    ok, d = device_dispatch_plan(mk(batch_size=16384, chunk_steps=256), None)
+    assert ok and d == (1 << 28) // 16384  # ~1s of work per dispatch
+    # a user chunk larger than the cap is never clamped below itself
+    ok, d = device_dispatch_plan(mk(batch_size=16384, chunk_steps=500000), None)
+    assert ok and d == 500000
+    # budget clips the slice and gates out when <= one chunk
+    ok, d = device_dispatch_plan(mk(batch_size=4, chunk_steps=256), 1000)
+    assert ok and d == 1000
+    ok, _ = device_dispatch_plan(mk(batch_size=4, chunk_steps=256), 256)
+    assert not ok
+    # wall budgets and cadences keep host-paced chunks
+    ok, _ = device_dispatch_plan(
+        mk(batch_size=4, chunk_steps=256, wall_clock_budget_s=5.0), None
+    )
+    assert not ok
+    ok, _ = device_dispatch_plan(
+        mk(batch_size=4, chunk_steps=256, log_every_chunks=2), None
+    )
+    assert not ok
